@@ -47,7 +47,7 @@ class NormLayer(nn.Module):
         running_var = self.variable(
             "stats", "running_var", lambda: jnp.ones((self.num_features,), jnp.float32)
         )
-        count = self.variable("stats", "count", lambda: jnp.zeros((), jnp.int64))
+        count = self.variable("stats", "count", lambda: jnp.zeros((), jnp.int32))
         return running_mean, running_var, count
 
     def _update(self, mean_v, var_v, count_v, x: jnp.ndarray) -> None:

@@ -1,0 +1,147 @@
+"""Policy save/load + the policy-type registry.
+
+Counterpart of reference ``policies/serialize.py`` (231 LoC): a string-keyed
+registry of policy loaders (``random``, ``zero``, ``ppo``, ``sac``, ...),
+``save_stable_model``-style checkpointing, and periodic save callbacks.
+
+Format: a directory containing ``policy_config.json`` (architecture + spaces)
+and ``variables.msgpack`` (flax serialized pytree) — a self-describing,
+framework-version-tolerant layout replacing torch ``model.zip`` pickles.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.serialization
+import jax
+import numpy as np
+
+from imitation_tpu.envs.base import Space
+from imitation_tpu.envs.vector import VectorEnv
+from imitation_tpu.models.policies import (
+    ActorCriticPolicy,
+    RandomPolicy,
+    ZeroPolicy,
+)
+from imitation_tpu.util import registry
+
+POLICY_CONFIG = "policy_config.json"
+POLICY_VARS = "variables.msgpack"
+
+
+def _space_to_json(space: Space) -> Dict[str, Any]:
+    return {
+        "shape": list(space.shape),
+        "dtype": np.dtype(space.dtype).name,
+        "n": space.n,
+        "low": None if space.low is None else np.asarray(space.low).tolist(),
+        "high": None if space.high is None else np.asarray(space.high).tolist(),
+    }
+
+
+def _space_from_json(d: Dict[str, Any]) -> Space:
+    return Space(
+        shape=tuple(d["shape"]),
+        dtype=np.dtype(d["dtype"]).type,
+        n=d["n"],
+        low=None if d["low"] is None else np.asarray(d["low"], d["dtype"]),
+        high=None if d["high"] is None else np.asarray(d["high"], d["dtype"]),
+    )
+
+
+def save_policy(path: str, policy: ActorCriticPolicy, variables: Any) -> None:
+    """Saves policy architecture + variables to ``path`` (a directory)."""
+    os.makedirs(path, exist_ok=True)
+    config = {
+        "policy_type": "actor_critic",
+        "observation_space": _space_to_json(policy.observation_space),
+        "action_space": _space_to_json(policy.action_space),
+        "hid_sizes": list(policy.hid_sizes),
+        "normalize_features": policy.normalize_features,
+        "log_std_init": policy.log_std_init,
+    }
+    with open(os.path.join(path, POLICY_CONFIG), "w") as f:
+        json.dump(config, f, indent=2)
+    with open(os.path.join(path, POLICY_VARS), "wb") as f:
+        f.write(flax.serialization.to_bytes(jax.device_get(variables)))
+
+
+def load_policy_from_path(path: str) -> Tuple[ActorCriticPolicy, Any]:
+    """Loads (policy, variables) saved by ``save_policy``."""
+    with open(os.path.join(path, POLICY_CONFIG)) as f:
+        config = json.load(f)
+    if config["policy_type"] != "actor_critic":
+        raise ValueError(f"unknown policy_type {config['policy_type']!r}")
+    policy = ActorCriticPolicy(
+        observation_space=_space_from_json(config["observation_space"]),
+        action_space=_space_from_json(config["action_space"]),
+        hid_sizes=tuple(config["hid_sizes"]),
+        normalize_features=config["normalize_features"],
+        log_std_init=config["log_std_init"],
+    )
+    template = policy.init(jax.random.key(0))
+    with open(os.path.join(path, POLICY_VARS), "rb") as f:
+        variables = flax.serialization.from_bytes(template, f.read())
+    return policy, variables
+
+
+# ---------------------------------------------------------------------------
+# Registry (reference policies/serialize.py:27-152)
+# ---------------------------------------------------------------------------
+
+# A loader returns (policy, variables) given (venv, **kwargs).
+PolicyLoaderFn = Callable[..., Tuple[Any, Any]]
+
+policy_registry: "registry.Registry[PolicyLoaderFn]" = registry.Registry()
+
+
+def _load_random(venv: VectorEnv, **kwargs):
+    pol = RandomPolicy(venv.observation_space, venv.action_space)
+    return pol, {}
+
+
+def _load_zero(venv: VectorEnv, **kwargs):
+    pol = ZeroPolicy(venv.observation_space, venv.action_space)
+    return pol, {}
+
+
+def _load_saved(venv: VectorEnv, path: str, **kwargs):
+    policy, variables = load_policy_from_path(path)
+    if policy.observation_space.shape != venv.observation_space.shape:
+        raise ValueError(
+            "policy observation space does not match env: "
+            f"{policy.observation_space.shape} vs {venv.observation_space.shape}"
+        )
+    return policy, variables
+
+
+policy_registry.register("random", value=_load_random)
+policy_registry.register("zero", value=_load_zero)
+policy_registry.register("ppo", value=_load_saved)
+policy_registry.register("sac", value=_load_saved)
+policy_registry.register("saved", value=_load_saved)
+
+
+def load_policy(policy_type: str, venv: VectorEnv, **kwargs):
+    """Load (policy, variables) by registry type (reference :123-152)."""
+    loader = policy_registry.get(policy_type)
+    return loader(venv, **kwargs)
+
+
+class SavePolicyCallback:
+    """Periodic policy checkpointing callback (reference :204-231)."""
+
+    def __init__(self, policy_dir: str, policy: ActorCriticPolicy, save_interval_updates: int = 1):
+        self.policy_dir = policy_dir
+        self.policy = policy
+        self.save_interval = save_interval_updates
+        self._count = 0
+
+    def __call__(self, state, metrics=None) -> None:
+        self._count += 1
+        if self._count % self.save_interval == 0:
+            path = os.path.join(self.policy_dir, f"{self._count:012d}")
+            save_policy(path, self.policy, state.variables)
