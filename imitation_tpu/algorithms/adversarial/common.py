@@ -1,0 +1,365 @@
+"""Adversarial imitation learning core (GAIL/AIRL common loop).
+
+Counterpart of reference ``algorithms/adversarial/common.py`` (632 LoC,
+``AdversarialTrainer``). The training loop alternates:
+
+    for each round (total_timesteps // gen_train_timesteps):
+        train_gen:  generator PPO trains `gen_train_timesteps` env steps on
+                    rewards relabeled by the CURRENT reward net; fresh rollout
+                    transitions land in the generator replay buffer
+                    (reference common.py:391-425)
+        train_disc x n_disc_updates_per_round:
+                    binary-cross-entropy discriminator step on an equal mix
+                    of expert and generator batches (reference common.py:317-389,
+                    521-632)
+
+TPU-native collapse of the reference's three hot loops (SURVEY §3.1):
+rollout + reward relabel + PPO update are ONE jitted program (rl/ppo.py
+with ``reward_fn``), and each disc update is another jitted program that
+samples expert/generator batches from HBM, evaluates the reward net on the
+doubled batch, and steps the disc optimizer — there is no per-env-step
+host call and no numpy<->device copy anywhere in the round.
+
+Subclass contract (GAIL/AIRL): ``logits_expert_is_high`` maps reward-net
+outputs (+ policy log-probs for AIRL) to discriminator logits where high
+means "expert", and ``reward_train_fn``/``reward_test_fn`` define the reward
+used for generator training / for transfer evaluation
+(reference common.py:269-315).
+"""
+
+from __future__ import annotations
+
+import abc
+import dataclasses
+from typing import Any, Callable, Dict, Mapping, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from imitation_tpu.algorithms import base
+from imitation_tpu.data import types
+from imitation_tpu.data.buffer import BufferState, ReplayBuffer
+from imitation_tpu.envs.vector import VectorEnv
+from imitation_tpu.models.policies import ActorCriticPolicy
+from imitation_tpu.rewards.reward_nets import RewardNet
+from imitation_tpu.rl import common as rl_common
+from imitation_tpu.rl.ppo import PPO, PPOConfig
+from imitation_tpu.util.logger import HierarchicalLogger
+
+
+def compute_train_stats(
+    disc_logits_expert_is_high: jnp.ndarray,
+    labels_expert_is_one: jnp.ndarray,
+    disc_loss: jnp.ndarray,
+) -> Dict[str, jnp.ndarray]:
+    """Discriminator diagnostics (reference common.py:27-92)."""
+    bin_is_generated_pred = disc_logits_expert_is_high < 0
+    bin_is_generated_true = labels_expert_is_one == 0
+    bin_is_expert_true = labels_expert_is_one == 1
+    int_is_generated_pred = bin_is_generated_pred.astype(jnp.float32)
+    int_is_generated_true = bin_is_generated_true.astype(jnp.float32)
+    n_labels = labels_expert_is_one.shape[0]
+    n_generated = int_is_generated_true.sum()
+    n_expert = n_labels - n_generated
+    pct_expert = n_expert / n_labels
+    correct = (bin_is_generated_pred == bin_is_generated_true).astype(jnp.float32)
+    acc = correct.mean()
+    expert_acc = jnp.where(
+        n_expert > 0,
+        (correct * bin_is_expert_true).sum() / jnp.maximum(n_expert, 1),
+        jnp.nan,
+    )
+    generated_acc = jnp.where(
+        n_generated > 0,
+        (correct * bin_is_generated_true).sum() / jnp.maximum(n_generated, 1),
+        jnp.nan,
+    )
+    pct_expert_pred = 1.0 - int_is_generated_pred.mean()
+    # entropy of the Bernoulli implied by each logit
+    p = jax.nn.sigmoid(disc_logits_expert_is_high)
+    entropy = -(
+        p * jnp.log(jnp.clip(p, 1e-12)) + (1 - p) * jnp.log(jnp.clip(1 - p, 1e-12))
+    ).mean()
+    return {
+        "disc_loss": disc_loss,
+        "disc_acc": acc,
+        "disc_acc_expert": expert_acc,
+        "disc_acc_gen": generated_acc,
+        "disc_entropy": entropy,
+        "disc_proportion_expert_true": pct_expert,
+        "disc_proportion_expert_pred": pct_expert_pred,
+    }
+
+
+@struct.dataclass
+class DiscState:
+    variables: Any  # reward net variables
+    opt_state: Any
+    key: jax.Array
+    step: jnp.ndarray  # int32
+
+
+class AdversarialTrainer(base.DemonstrationAlgorithm):
+    """Base class for adversarial imitation (reference common.py:95-632)."""
+
+    def __init__(
+        self,
+        *,
+        demonstrations: base.AnyDemonstrations,
+        demo_batch_size: int,
+        venv: VectorEnv,
+        gen_algo: Optional[PPO] = None,
+        reward_net: RewardNet = None,
+        policy: Optional[ActorCriticPolicy] = None,
+        gen_config: Optional[PPOConfig] = None,
+        n_disc_updates_per_round: int = 2,
+        disc_opt_kwargs: Optional[Mapping[str, Any]] = None,
+        gen_train_timesteps: Optional[int] = None,
+        gen_replay_buffer_capacity: Optional[int] = None,
+        custom_logger: Optional[HierarchicalLogger] = None,
+        allow_variable_horizon: bool = False,
+        seed: int = 0,
+    ):
+        self.demo_batch_size = demo_batch_size
+        self.venv = venv
+        self.reward_net = reward_net
+        self.n_disc_updates_per_round = n_disc_updates_per_round
+        self._demo_store: Optional[base.DemonstrationStore] = None
+        super().__init__(
+            demonstrations=demonstrations,
+            custom_logger=custom_logger,
+            allow_variable_horizon=allow_variable_horizon,
+        )
+
+        # Generator: PPO with the learned-reward relabel fused in
+        # (replaces reference's BufferingWrapper+RewardVecEnvWrapper stack,
+        # common.py:229-241).
+        if gen_algo is None:
+            policy = policy or ActorCriticPolicy(
+                observation_space=venv.observation_space,
+                action_space=venv.action_space,
+            )
+            gen_algo = PPO(
+                venv,
+                policy,
+                gen_config or PPOConfig(),
+                reward_fn=self._reward_train_relabel_fn,
+                return_transitions=True,
+                seed=seed,
+            )
+        else:
+            gen_algo.reward_fn = self._reward_train_relabel_fn
+            gen_algo.return_transitions = True
+            gen_algo._train_step_jit = jax.jit(gen_algo.train_step)
+        self.gen_algo = gen_algo
+
+        # One generator round produces n_steps * num_envs transitions
+        # (reference common.py:246-253: defaults to one on-policy batch).
+        if gen_train_timesteps is None:
+            gen_train_timesteps = self.gen_algo.config.n_steps * venv.num_envs
+        self.gen_train_timesteps = gen_train_timesteps
+        if gen_replay_buffer_capacity is None:
+            gen_replay_buffer_capacity = self.gen_train_timesteps
+        self._gen_replay_buffer = ReplayBuffer(gen_replay_buffer_capacity)
+        self._gen_buffer_state: Optional[BufferState] = None
+
+        # Discriminator optimizer (reference default Adam lr 1e-3? -> SB3
+        # torch.optim.Adam defaults; reference uses disc_opt_cls=th.optim.Adam).
+        disc_opt_kwargs = dict(disc_opt_kwargs or {})
+        lr = disc_opt_kwargs.pop("lr", disc_opt_kwargs.pop("learning_rate", 1e-3))
+        self.disc_optimizer = optax.adam(lr, **disc_opt_kwargs)
+
+        k_init, k_disc = jax.random.split(jax.random.key(seed ^ 0x5EED))
+        reward_variables = self.reward_net.init_variables(k_init)
+        self.disc_state = DiscState(
+            variables=reward_variables,
+            opt_state=self.disc_optimizer.init(reward_variables["params"]),
+            key=k_disc,
+            step=jnp.zeros((), jnp.int32),
+        )
+        self.gen_state: Optional[rl_common.RLState] = None
+        self._disc_step_jit = jax.jit(self._disc_step)
+        self._global_step = 0
+
+    # -- demonstration handling -------------------------------------------
+    def set_demonstrations(self, demonstrations: base.AnyDemonstrations) -> None:
+        if isinstance(demonstrations, (list, tuple)) and demonstrations and isinstance(
+            demonstrations[0], types.Trajectory
+        ):
+            self._check_fixed_horizon(len(t) for t in demonstrations)
+        self._demo_store = base.DemonstrationStore.from_demonstrations(demonstrations)
+        if self._demo_store.num_samples < self.demo_batch_size:
+            raise ValueError(
+                f"demo_batch_size={self.demo_batch_size} exceeds demonstration "
+                f"size {self._demo_store.num_samples}"
+            )
+
+    @property
+    def policy(self) -> ActorCriticPolicy:
+        return self.gen_algo.policy
+
+    @property
+    def policy_variables(self):
+        assert self.gen_state is not None, "call train() first"
+        return self.gen_state.variables
+
+    # -- subclass contract -------------------------------------------------
+    @abc.abstractmethod
+    def logits_expert_is_high(
+        self,
+        reward_variables: Any,
+        obs,
+        acts,
+        next_obs,
+        dones,
+        log_policy_act_prob: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Discriminator logits; high = classified expert (reference :269-300)."""
+
+    @abc.abstractmethod
+    def reward_train_fn(self) -> rl_common.RelabelRewardFn:
+        """Reward used to train the generator (reference .reward_train)."""
+
+    def reward_test_fn(self) -> rl_common.RelabelRewardFn:
+        """Reward for transfer evaluation (reference .reward_test);
+        defaults to the train reward."""
+        return self.reward_train_fn()
+
+    @property
+    def needs_policy_log_prob(self) -> bool:
+        """AIRL needs log pi(a|s) inside the disc logit; GAIL does not."""
+        return False
+
+    # -- fused reward relabel fn for the generator ------------------------
+    def _reward_train_relabel_fn(self, reward_params, obs, acts, next_obs, dones):
+        return self.reward_train_fn()(reward_params, obs, acts, next_obs, dones)
+
+    # -- discriminator step ------------------------------------------------
+    def _disc_step(
+        self,
+        disc_state: DiscState,
+        gen_buffer_state: BufferState,
+        policy_variables: Any,
+    ) -> Tuple[DiscState, Dict[str, jnp.ndarray]]:
+        """One jitted BCE discriminator update on expert+gen half-batches
+        (reference train_disc, common.py:317-389 + batch assembly :521-632)."""
+        key, k_expert, k_gen = jax.random.split(disc_state.key, 3)
+        expert = self._demo_store.sample(k_expert, self.demo_batch_size)
+        gen = self._gen_replay_buffer.sample(
+            gen_buffer_state, k_gen, self.demo_batch_size
+        )
+        obs = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), expert.obs, gen.obs)
+        acts = jnp.concatenate([expert.acts, gen.acts])
+        next_obs = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b]), expert.next_obs, gen.next_obs
+        )
+        dones = jnp.concatenate([expert.dones, gen.dones])
+        labels = jnp.concatenate(
+            [jnp.ones(self.demo_batch_size), jnp.zeros(self.demo_batch_size)]
+        )
+
+        if self.needs_policy_log_prob:
+            # log pi(a|s) under the current generator policy, no gradient
+            # (reference _get_log_policy_act_prob, common.py:476-519).
+            dist = self.policy.distribution(policy_variables, obs)
+            if self.policy.action_space.is_discrete:
+                log_prob = dist.log_prob(acts.astype(jnp.int32))
+            else:
+                log_prob = dist.log_prob(acts.reshape(acts.shape[0], -1))
+            log_prob = jax.lax.stop_gradient(log_prob)
+        else:
+            log_prob = None
+
+        def loss_fn(params):
+            variables = {**disc_state.variables, "params": params}
+            logits = self.logits_expert_is_high(
+                variables, obs, acts, next_obs, dones, log_prob
+            )
+            loss = optax.sigmoid_binary_cross_entropy(logits, labels).mean()
+            return loss, logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            disc_state.variables["params"]
+        )
+        updates, opt_state = self.disc_optimizer.update(
+            grads, disc_state.opt_state, disc_state.variables["params"]
+        )
+        params = optax.apply_updates(disc_state.variables["params"], updates)
+        stats = compute_train_stats(logits, labels, loss)
+        new_state = DiscState(
+            variables={**disc_state.variables, "params": params},
+            opt_state=opt_state,
+            key=key,
+            step=disc_state.step + 1,
+        )
+        return new_state, stats
+
+    def train_disc(self) -> Mapping[str, float]:
+        """One discriminator update using current buffers (reference :317-389)."""
+        if self._gen_buffer_state is None:
+            raise RuntimeError(
+                "No generator samples for training. Call `train_gen()` first.",
+            )
+        self.disc_state, stats = self._disc_step_jit(
+            self.disc_state, self._gen_buffer_state, self._current_policy_variables()
+        )
+        return {k: float(v) for k, v in jax.device_get(stats).items()}
+
+    def _current_policy_variables(self):
+        if self.gen_state is None:
+            self.gen_state = self.gen_algo.init_state()
+        return self.gen_state.variables
+
+    # -- generator step ----------------------------------------------------
+    def train_gen(self, total_timesteps: Optional[int] = None) -> Mapping[str, float]:
+        """Train the generator on relabeled rewards; refill the gen buffer
+        (reference train_gen, common.py:391-425)."""
+        if total_timesteps is None:
+            total_timesteps = self.gen_train_timesteps
+        if self.gen_state is None:
+            self.gen_state = self.gen_algo.init_state()
+        steps_per_iter = self.gen_algo.config.n_steps * self.venv.num_envs
+        n_iters = max(1, int(np.ceil(total_timesteps / steps_per_iter)))
+        metrics = {}
+        for _ in range(n_iters):
+            self.gen_state, metrics_dev, transitions = self.gen_algo._train_step_jit(
+                self.gen_state, self.disc_state.variables
+            )
+            if self._gen_buffer_state is None:
+                self._gen_buffer_state = self._gen_replay_buffer.init_state(transitions)
+            self._gen_buffer_state = jax.jit(self._gen_replay_buffer.store)(
+                self._gen_buffer_state, transitions
+            )
+            metrics = {k: float(v) for k, v in jax.device_get(metrics_dev).items()}
+        return metrics
+
+    # -- outer loop --------------------------------------------------------
+    def train(
+        self,
+        total_timesteps: int,
+        callback: Optional[Callable[[int], None]] = None,
+    ) -> None:
+        """Alternating adversarial training (reference common.py:427-461)."""
+        n_rounds = total_timesteps // self.gen_train_timesteps
+        assert n_rounds >= 1, (
+            "No updates (need at least "
+            f"{self.gen_train_timesteps} timesteps, have only "
+            f"total_timesteps={total_timesteps})!"
+        )
+        for r in range(n_rounds):
+            with self.logger.accumulate_means("gen"):
+                gen_metrics = self.train_gen(self.gen_train_timesteps)
+                for k, v in gen_metrics.items():
+                    self.logger.record(k, v)
+            for _ in range(self.n_disc_updates_per_round):
+                with self.logger.accumulate_means("disc"):
+                    disc_metrics = self.train_disc()
+                    for k, v in disc_metrics.items():
+                        self.logger.record(k, v)
+            self._global_step += 1
+            if callback:
+                callback(r)
+            self.logger.dump(self._global_step)

@@ -1,0 +1,75 @@
+"""On-device FIFO replay buffers.
+
+Counterpart of reference ``data/buffer.py`` (``Buffer``/``ReplayBuffer``,
+buffer.py:30-416): a fixed-capacity ring over struct-of-arrays with
+wraparound store and uniform sampling. Here the storage is a
+``TransitionBatch`` pytree of fixed HBM arrays and all operations are pure
+index arithmetic inside jit — store is a scatter at
+``(idx + arange(k)) % capacity``, sampling is a random gather. The buffer
+state is itself a pytree, so it shards over a mesh like any other state
+(replay shards per host in the distributed layout).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from imitation_tpu.data.types import TransitionBatch
+
+
+@struct.dataclass
+class BufferState:
+    data: TransitionBatch  # leaves [capacity, ...]
+    idx: jnp.ndarray  # int32 next write position
+    size: jnp.ndarray  # int32 current fill level
+
+
+@dataclasses.dataclass(frozen=True)
+class ReplayBuffer:
+    """Fixed-capacity device ring buffer of transitions."""
+
+    capacity: int
+
+    def init_state(self, example: TransitionBatch) -> BufferState:
+        """Allocates zeroed storage shaped like ``example`` rows."""
+        data = jax.tree.map(
+            lambda x: jnp.zeros((self.capacity,) + x.shape[1:], x.dtype), example
+        )
+        return BufferState(
+            data=data, idx=jnp.zeros((), jnp.int32), size=jnp.zeros((), jnp.int32)
+        )
+
+    def store(self, state: BufferState, batch: TransitionBatch) -> BufferState:
+        """FIFO store with wraparound (reference buffer.py:147-214).
+
+        If the batch exceeds capacity only the last ``capacity`` rows are
+        retained, matching the reference's chunked-store semantics.
+        """
+        k = batch.batch_size
+        if k >= self.capacity:
+            data = jax.tree.map(lambda x: x[-self.capacity:], batch)
+            return BufferState(
+                data=data,
+                idx=jnp.zeros((), jnp.int32),
+                size=jnp.asarray(self.capacity, jnp.int32),
+            )
+        pos = (state.idx + jnp.arange(k)) % self.capacity
+        data = jax.tree.map(lambda buf, new: buf.at[pos].set(new), state.data, batch)
+        return BufferState(
+            data=data,
+            idx=(state.idx + k) % self.capacity,
+            size=jnp.minimum(state.size + k, self.capacity),
+        )
+
+    def sample(
+        self, state: BufferState, key: jax.Array, n: int
+    ) -> TransitionBatch:
+        """Uniform with-replacement sample of ``n`` stored rows
+        (reference buffer.py:216-237)."""
+        idx = jax.random.randint(key, (n,), 0, jnp.maximum(state.size, 1))
+        return jax.tree.map(lambda x: x[idx], state.data)

@@ -65,12 +65,14 @@ class PPO:
         config: PPOConfig = PPOConfig(),
         *,
         reward_fn: Optional[common.RelabelRewardFn] = None,
+        return_transitions: bool = False,
         seed: int = 0,
     ):
         self.venv = venv
         self.policy = policy
         self.config = config
         self.reward_fn = reward_fn
+        self.return_transitions = return_transitions
         self.optimizer = common.make_optimizer(
             config.learning_rate, config.max_grad_norm
         )
@@ -251,6 +253,20 @@ class PPO:
             timesteps=state.timesteps + T * B,
             n_updates=state.n_updates + 1,
         )
+        if self.return_transitions:
+            # Flattened [T*B] rollout transitions with TRUE env rewards — the
+            # adversarial trainer stores these in its generator replay buffer
+            # (reference common.py:422-425: pop trajectories -> flatten -> store).
+            from imitation_tpu.data.types import TransitionBatch
+
+            transitions = TransitionBatch(
+                obs=jax.tree.map(flat2, chunk.obs),
+                acts=flat2(chunk.acts),
+                next_obs=jax.tree.map(flat2, chunk.next_obs),
+                dones=flat2(chunk.dones.astype(jnp.float32)),
+                rews=flat2(true_rews),
+            )
+            return new_state, metrics, transitions
         return new_state, metrics
 
     # -- host loop ---------------------------------------------------------
@@ -266,7 +282,8 @@ class PPO:
         steps_per_iter = self.config.n_steps * self.venv.num_envs
         n_iters = max(1, int(np.ceil(total_timesteps / steps_per_iter)))
         for _ in range(n_iters):
-            state, metrics = self._train_step_jit(state, reward_params)
+            out = self._train_step_jit(state, reward_params)
+            state, metrics = out[0], out[1]
             if callback is not None or logger is not None:
                 host_metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
                 if logger is not None:
