@@ -1,0 +1,144 @@
+"""DAgger tests: beta schedules, collector semantics, round loop, save/load.
+
+Modeled on reference tests/test_dagger.py (:37 schedule math, :135 collector,
+:417 save/reload, :474 learning).
+"""
+
+import tempfile
+
+import numpy as np
+import pytest
+
+from imitation_tpu.algorithms import dagger
+from imitation_tpu.data import rollout, serialize
+from imitation_tpu.envs import make_vec_env
+from imitation_tpu.testing import experts
+
+
+def test_linear_beta_schedule():
+    sched = dagger.LinearBetaSchedule(10)
+    assert sched(0) == 1.0
+    assert abs(sched(5) - 0.5) < 1e-9
+    assert sched(10) == 0.0
+    assert sched(15) == 0.0
+
+
+def test_exponential_beta_schedule():
+    sched = dagger.ExponentialBetaSchedule(0.5)
+    assert sched(0) == 1.0
+    assert sched(2) == 0.25
+    with pytest.raises(ValueError):
+        dagger.ExponentialBetaSchedule(1.5)
+
+
+@pytest.fixture
+def scratch(tmp_path):
+    return str(tmp_path / "dagger")
+
+
+def make_trainer(scratch, beta_schedule=None):
+    venv = make_vec_env("CartPole-v1", num_envs=4, max_episode_steps=60)
+    return dagger.SimpleDAggerTrainer(
+        venv=venv,
+        scratch_dir=scratch,
+        expert_policy_apply=experts.cartpole_expert_fn,
+        expert_params={},
+        rng=0,
+        beta_schedule=beta_schedule,
+    )
+
+
+def test_needs_demos_exception(scratch):
+    trainer = make_trainer(scratch)
+    with pytest.raises(dagger.NeedsDemosException):
+        trainer.extend_and_update(dict(n_epochs=1))
+
+
+def test_collector_records_expert_actions(scratch):
+    """With beta=0 (all robot actions stepped), saved demos still carry expert
+    actions (reference dagger.py:277-283 semantics)."""
+    trainer = make_trainer(scratch, beta_schedule=lambda r: 0.0)
+    collector = trainer.create_trajectory_collector()
+    trajs = collector.collect_trajectories(
+        experts.cartpole_expert_fn, {}, rollout.make_min_episodes(3), seed=0
+    )
+    assert len(trajs) >= 3
+    # Expert on CartPole is deterministic: verify each recorded action matches
+    # the expert's output on the recorded obs.
+    import jax, jax.numpy as jnp
+
+    for t in trajs[:2]:
+        expert_acts, _ = experts.cartpole_expert_fn({}, jnp.asarray(t.obs[:-1]), None)
+        np.testing.assert_array_equal(t.acts, np.asarray(expert_acts))
+
+
+def test_round_loop_and_demo_dirs(scratch):
+    trainer = make_trainer(scratch)
+    collector = trainer.create_trajectory_collector()
+    collector.collect_trajectories(
+        experts.cartpole_expert_fn, {}, rollout.make_min_episodes(2), seed=0
+    )
+    assert trainer._demo_dir_path_for_round(0).is_dir()
+    new_round = trainer.extend_and_update(dict(n_epochs=1))
+    assert new_round == 1
+    assert trainer.round_num == 1
+    # beta decreased
+    assert trainer.beta_schedule(1) < trainer.beta_schedule(0)
+
+
+def test_save_and_reconstruct(scratch):
+    trainer = make_trainer(scratch)
+    collector = trainer.create_trajectory_collector()
+    collector.collect_trajectories(
+        experts.cartpole_expert_fn, {}, rollout.make_min_episodes(2), seed=0
+    )
+    trainer.extend_and_update(dict(n_epochs=1))
+    ckpt, policy_path = trainer.save_trainer()
+    venv = trainer.venv
+    loaded = dagger.reconstruct_trainer(trainer.scratch_dir, venv)
+    assert loaded.round_num == trainer.round_num
+    from imitation_tpu.policies.serialize import load_policy_from_path
+
+    pol, variables = load_policy_from_path(str(policy_path))
+    assert pol.action_space.n == 2
+
+
+@pytest.mark.slow
+def test_simple_dagger_improves(scratch):
+    trainer = make_trainer(scratch)
+    venv = trainer.venv
+    novice = rollout.generate_trajectories(
+        trainer.policy.sample_fn(), trainer.policy_variables, venv,
+        rollout.make_min_episodes(10), rng=0,
+    )
+    novice_ret = np.mean([t.rews.sum() for t in novice])
+    trainer.train(
+        total_timesteps=4000,
+        rollout_round_min_episodes=3,
+        rollout_round_min_timesteps=400,
+        bc_train_kwargs=dict(n_epochs=4),
+    )
+    trained = rollout.generate_trajectories(
+        trainer.policy.sample_fn(), trainer.policy_variables, venv,
+        rollout.make_min_episodes(10), rng=1,
+    )
+    trained_ret = np.mean([t.rews.sum() for t in trained])
+    assert trained_ret > novice_ret + 10, f"{novice_ret} -> {trained_ret}"
+
+
+def test_initial_expert_trajs(scratch):
+    venv = make_vec_env("CartPole-v1", num_envs=4, max_episode_steps=60)
+    demos = experts.generate_expert_trajectories(
+        "CartPole-v1", venv, min_episodes=2
+    )[:2]
+    trainer = dagger.SimpleDAggerTrainer(
+        venv=venv,
+        scratch_dir=scratch,
+        expert_policy_apply=experts.cartpole_expert_fn,
+        rng=0,
+        expert_trajs=demos,
+    )
+    # round-0 dir contains the pre-seeded demos
+    demo_dir = trainer._demo_dir_path_for_round(0)
+    assert demo_dir.is_dir()
+    assert len(list(demo_dir.iterdir())) == 2
