@@ -1,0 +1,304 @@
+"""DQN: off-policy Q-learning with replay and target network.
+
+Replaces SB3's DQN as used by the reference (SQIL's default inner algorithm,
+reference algorithms/sqil.py:26-102; rl ingredient scripts/ingredients/rl.py).
+
+TPU-native structure: ``train_step`` is one jitted program that
+  1. collects ``train_freq`` lockstep env steps with epsilon-greedy actions,
+  2. scatters them into the on-device replay ring,
+  3. runs ``gradient_steps`` TD updates on uniformly sampled batches,
+  4. Polyak-updates the target network.
+A ``sample_hook`` lets SQIL substitute its 50/50 expert/fresh sampling with
+relabeled rewards without touching the update math.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from imitation_tpu.data.buffer import BufferState, ReplayBuffer
+from imitation_tpu.data.types import TransitionBatch
+from imitation_tpu.envs.vector import VecEnvState, VectorEnv
+from imitation_tpu.models import networks
+from imitation_tpu.rl import common
+
+
+class QNetwork(nn.Module):
+    n_actions: int
+    hid_sizes: Tuple[int, ...] = (64, 64)
+
+    @nn.compact
+    def __call__(self, obs: jnp.ndarray) -> jnp.ndarray:
+        x = obs.reshape((obs.shape[0], -1)).astype(jnp.float32)
+        for i, h in enumerate(self.hid_sizes):
+            x = nn.relu(nn.Dense(h, name=f"dense{i}")(x))
+        return nn.Dense(self.n_actions, name="q_out")(x)
+
+
+@dataclasses.dataclass
+class DQNConfig:
+    learning_rate: float = 1e-4
+    buffer_size: int = 100_000
+    learning_starts: int = 1000
+    batch_size: int = 32
+    tau: float = 1.0  # target polyak factor (1.0 = hard copy at target_update)
+    gamma: float = 0.99
+    train_freq: int = 4  # env steps (per env) per train_step collect
+    gradient_steps: int = 1
+    target_update_interval: int = 1000  # in collected env steps
+    exploration_fraction: float = 0.1
+    exploration_initial_eps: float = 1.0
+    exploration_final_eps: float = 0.05
+    max_grad_norm: float = 10.0
+    hid_sizes: Tuple[int, ...] = (64, 64)
+
+
+@struct.dataclass
+class DQNState:
+    variables: Any
+    target_params: Any
+    opt_state: Any
+    env_state: VecEnvState
+    buffer_state: BufferState
+    key: jax.Array
+    timesteps: jnp.ndarray
+    n_updates: jnp.ndarray
+
+
+# Sample hook: (buffer, buffer_state, key, batch_size) -> TransitionBatch.
+SampleHook = Callable[[ReplayBuffer, BufferState, jax.Array, int], TransitionBatch]
+
+
+class DQN:
+    """Deep Q-Network learner over a VectorEnv."""
+
+    def __init__(
+        self,
+        venv: VectorEnv,
+        config: DQNConfig = DQNConfig(),
+        *,
+        total_timesteps_hint: int = 100_000,
+        sample_hook: Optional[SampleHook] = None,
+        seed: int = 0,
+    ):
+        if not venv.action_space.is_discrete:
+            raise ValueError("DQN requires a discrete action space")
+        self.venv = venv
+        self.config = config
+        self.q_net = QNetwork(
+            n_actions=venv.action_space.n, hid_sizes=tuple(config.hid_sizes)
+        )
+        self.optimizer = common.make_optimizer(
+            config.learning_rate, config.max_grad_norm
+        )
+        self.replay = ReplayBuffer(config.buffer_size)
+        self.sample_hook = sample_hook
+        self._seed = seed
+        # linear epsilon schedule over exploration_fraction * hint
+        self._eps_decay_steps = max(
+            1, int(config.exploration_fraction * total_timesteps_hint)
+        )
+        self._train_step_jit = jax.jit(self.train_step)
+
+    def _example_transitions(self) -> TransitionBatch:
+        obs = jnp.zeros((1,) + self.venv.observation_space.shape, jnp.float32)
+        return TransitionBatch(
+            obs=obs,
+            acts=jnp.zeros((1,), jnp.int32),
+            next_obs=obs,
+            dones=jnp.zeros((1,)),
+            rews=jnp.zeros((1,)),
+        )
+
+    def init_state(self, key: Optional[jax.Array] = None) -> DQNState:
+        key = key if key is not None else jax.random.key(self._seed)
+        k_init, k_env, key = jax.random.split(key, 3)
+        dummy = jnp.zeros((1,) + self.venv.observation_space.shape, jnp.float32)
+        variables = self.q_net.init(k_init, dummy)
+        return DQNState(
+            variables=variables,
+            target_params=variables["params"],
+            opt_state=self.optimizer.init(variables["params"]),
+            env_state=self.venv.reset(k_env),
+            buffer_state=self.replay.init_state(self._example_transitions()),
+            key=key,
+            timesteps=jnp.zeros((), jnp.int32),
+            n_updates=jnp.zeros((), jnp.int32),
+        )
+
+    def epsilon(self, timesteps: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        frac = jnp.clip(timesteps / self._eps_decay_steps, 0.0, 1.0)
+        return cfg.exploration_initial_eps + frac * (
+            cfg.exploration_final_eps - cfg.exploration_initial_eps
+        )
+
+    def greedy_fn(self):
+        """Deterministic argmax-Q rollout policy."""
+
+        def f(variables, obs, key):
+            q = self.q_net.apply(variables, obs)
+            return jnp.argmax(q, axis=-1).astype(jnp.int32), {}
+
+        return f
+
+    def train_step(self, state: DQNState) -> Tuple[DQNState, Dict[str, jnp.ndarray]]:
+        cfg = self.config
+        B = self.venv.num_envs
+        key, k_roll = jax.random.split(state.key)
+        eps = self.epsilon(state.timesteps)
+
+        # 1. Collect train_freq steps with epsilon-greedy.
+        def step_fn(carry, step_key):
+            env_state = carry
+            obs = env_state.obs
+            k_greedy, k_eps, k_unif = jax.random.split(step_key, 3)
+            q = self.q_net.apply(state.variables, obs)
+            greedy = jnp.argmax(q, axis=-1).astype(jnp.int32)
+            random_acts = jax.random.randint(k_unif, (B,), 0, self.venv.action_space.n)
+            use_random = jax.random.uniform(k_eps, (B,)) < eps
+            acts = jnp.where(use_random, random_acts, greedy)
+            env_state, out = self.venv.step(env_state, acts)
+            tr = TransitionBatch(
+                obs=obs,
+                acts=acts,
+                next_obs=out.terminal_obs,
+                # TD target must not bootstrap through TRUE terminals only.
+                dones=out.terminated.astype(jnp.float32),
+                rews=out.reward,
+            )
+            info = {
+                "ep_return": out.episode_return,
+                "ep_length": out.episode_length,
+                "done": out.done,
+            }
+            return env_state, (tr, info)
+
+        keys = jax.random.split(k_roll, cfg.train_freq)
+        env_state, (trs, infos) = jax.lax.scan(step_fn, state.env_state, keys)
+        flat = lambda x: x.reshape((cfg.train_freq * B,) + x.shape[2:])
+        transitions = jax.tree.map(flat, trs)
+        buffer_state = self.replay.store(state.buffer_state, transitions)
+        new_timesteps = state.timesteps + cfg.train_freq * B
+
+        # 2. Gradient steps (skipped before learning_starts via masking).
+        can_learn = buffer_state.size >= jnp.minimum(
+            cfg.learning_starts, self.replay.capacity
+        )
+
+        def td_update(carry, k_sample):
+            params, opt_state, target_params = carry
+            if self.sample_hook is not None:
+                batch = self.sample_hook(
+                    self.replay, buffer_state, k_sample, cfg.batch_size
+                )
+            else:
+                batch = self.replay.sample(buffer_state, k_sample, cfg.batch_size)
+
+            def loss_fn(p):
+                q = self.q_net.apply({"params": p}, batch.obs)
+                q_sel = jnp.take_along_axis(
+                    q, batch.acts[:, None].astype(jnp.int32), axis=1
+                )[:, 0]
+                q_next = self.q_net.apply({"params": target_params}, batch.next_obs)
+                target = batch.rews + cfg.gamma * (1.0 - batch.dones) * q_next.max(
+                    axis=-1
+                )
+                target = jax.lax.stop_gradient(target)
+                # Huber loss (SB3 uses smooth_l1)
+                err = q_sel - target
+                loss = jnp.where(
+                    jnp.abs(err) < 1.0, 0.5 * err**2, jnp.abs(err) - 0.5
+                ).mean()
+                return loss, (q_sel.mean(), target.mean())
+
+            (loss, (q_mean, tgt_mean)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            # mask update before learning starts
+            grads = jax.tree.map(
+                lambda g: jnp.where(can_learn, g, jnp.zeros_like(g)), grads
+            )
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, target_params), {
+                "loss": loss,
+                "q_mean": q_mean,
+                "target_mean": tgt_mean,
+            }
+
+        sample_keys = jax.random.split(key, cfg.gradient_steps + 1)
+        key = sample_keys[0]
+        (params, opt_state, _), aux = jax.lax.scan(
+            td_update,
+            (state.variables["params"], state.opt_state, state.target_params),
+            sample_keys[1:],
+        )
+
+        # 3. Target update: hard copy every target_update_interval steps.
+        crossed = (
+            new_timesteps // cfg.target_update_interval
+            > state.timesteps // cfg.target_update_interval
+        )
+        target_params = jax.tree.map(
+            lambda t, p: jnp.where(
+                crossed, cfg.tau * p + (1 - cfg.tau) * t, t
+            ),
+            state.target_params,
+            params,
+        )
+
+        done_f = infos["done"].astype(jnp.float32)
+        n_done = done_f.sum()
+        metrics = {
+            "loss": aux["loss"].mean(),
+            "q_mean": aux["q_mean"].mean(),
+            "epsilon": eps,
+            "buffer_size": buffer_state.size,
+            "ep_return_mean": jnp.where(
+                n_done > 0,
+                (infos["ep_return"] * done_f).sum() / jnp.maximum(n_done, 1),
+                jnp.nan,
+            ),
+            "n_episodes": n_done,
+        }
+        new_state = DQNState(
+            variables={"params": params},
+            target_params=target_params,
+            opt_state=opt_state,
+            env_state=env_state,
+            buffer_state=buffer_state,
+            key=key,
+            timesteps=new_timesteps,
+            n_updates=state.n_updates + cfg.gradient_steps,
+        )
+        return new_state, metrics
+
+    def learn(
+        self,
+        state: DQNState,
+        total_timesteps: int,
+        callback: Optional[Callable] = None,
+        log_every: int = 50,
+        logger=None,
+    ) -> DQNState:
+        steps_per_iter = self.config.train_freq * self.venv.num_envs
+        n_iters = max(1, int(np.ceil(total_timesteps / steps_per_iter)))
+        for i in range(n_iters):
+            state, metrics = self._train_step_jit(state)
+            if logger is not None and (i + 1) % log_every == 0:
+                host = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                for k, v in host.items():
+                    logger.record(f"dqn/{k}", v)
+                logger.dump(step=int(state.timesteps))
+            if callback is not None:
+                callback(state, metrics)
+        return state
