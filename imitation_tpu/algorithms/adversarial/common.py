@@ -41,6 +41,7 @@ from flax import struct
 
 from imitation_tpu.algorithms import base
 from imitation_tpu.data import types
+from imitation_tpu.data.rollout import chunk_to_transitions as rollout_chunk_to_transitions
 from imitation_tpu.data.buffer import BufferState, ReplayBuffer
 from imitation_tpu.envs.vector import VectorEnv
 from imitation_tpu.models.policies import ActorCriticPolicy
@@ -325,9 +326,10 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
         n_iters = max(1, int(np.ceil(total_timesteps / steps_per_iter)))
         metrics = {}
         for _ in range(n_iters):
-            self.gen_state, metrics_dev, transitions = self.gen_algo._train_step_jit(
+            self.gen_state, metrics_dev, chunk = self.gen_algo._train_step_jit(
                 self.gen_state, self.disc_state.variables
             )
+            transitions = jax.jit(rollout_chunk_to_transitions)(chunk)
             if self._gen_buffer_state is None:
                 self._gen_buffer_state = self._gen_replay_buffer.init_state(transitions)
             self._gen_buffer_state = jax.jit(self._gen_replay_buffer.store)(

@@ -110,6 +110,19 @@ def collect(
 # ---------------------------------------------------------------------------
 
 
+def chunk_to_transitions(chunk: RolloutChunk) -> types.TransitionBatch:
+    """Flattens a [T, B] rollout chunk into a [T*B] TransitionBatch (device)."""
+    T, B = chunk.acts.shape[0], chunk.acts.shape[1]
+    flat = lambda x: x.reshape((T * B,) + x.shape[2:])
+    return types.TransitionBatch(
+        obs=jax.tree.map(flat, chunk.obs),
+        acts=flat(chunk.acts),
+        next_obs=jax.tree.map(flat, chunk.next_obs),
+        dones=flat(chunk.dones.astype(jnp.float32)),
+        rews=flat(chunk.rews),
+    )
+
+
 def make_min_episodes(n: int) -> GenTrajTerminationFn:
     """Terminate after collecting n episodes (reference rollout.py:190-208)."""
     if n < 1:

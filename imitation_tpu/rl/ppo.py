@@ -254,19 +254,14 @@ class PPO:
             n_updates=state.n_updates + 1,
         )
         if self.return_transitions:
-            # Flattened [T*B] rollout transitions with TRUE env rewards — the
-            # adversarial trainer stores these in its generator replay buffer
-            # (reference common.py:422-425: pop trajectories -> flatten -> store).
-            from imitation_tpu.data.types import TransitionBatch
-
-            transitions = TransitionBatch(
-                obs=jax.tree.map(flat2, chunk.obs),
-                acts=flat2(chunk.acts),
-                next_obs=jax.tree.map(flat2, chunk.next_obs),
-                dones=flat2(chunk.dones.astype(jnp.float32)),
-                rews=flat2(true_rews),
-            )
-            return new_state, metrics, transitions
+            # Return the raw [T, B] rollout chunk (true env rewards, with
+            # terminated/truncated split intact). Consumers flatten for replay
+            # storage (adversarial trainer, reference common.py:422-425) or cut
+            # episodes (preference comparisons' AgentTrainer buffering,
+            # reference preference_comparisons.py:231-307). Policy aux is
+            # dropped to keep the returned pytree lean.
+            out_chunk = chunk.replace(rews=true_rews, aux={})
+            return new_state, metrics, out_chunk
         return new_state, metrics
 
     # -- host loop ---------------------------------------------------------

@@ -1,0 +1,213 @@
+"""Preference comparisons tests.
+
+Modeled on reference tests/algorithms/test_preference_comparisons.py:
+fragmenter behavior, synthetic gatherer math, dataset FIFO, preference-model
+probabilities, trainer mechanics, full-loop smoke + learning.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imitation_tpu.algorithms import preference_comparisons as pc
+from imitation_tpu.data import rollout
+from imitation_tpu.envs import make_vec_env
+from imitation_tpu.models.policies import ActorCriticPolicy
+from imitation_tpu.rewards.reward_nets import BasicRewardNet, RewardEnsemble
+from imitation_tpu.rl.ppo import PPO, PPOConfig
+from imitation_tpu.testing import experts
+from imitation_tpu.data import types
+
+
+@pytest.fixture(scope="module")
+def pendulum_trajs():
+    venv = make_vec_env("Pendulum-v1", num_envs=8)
+    return experts.generate_expert_trajectories("Pendulum-v1", venv, min_episodes=8)
+
+
+@pytest.fixture
+def reward_net():
+    venv = make_vec_env("Pendulum-v1", num_envs=2)
+    return BasicRewardNet(
+        observation_space=venv.observation_space,
+        action_space=venv.action_space,
+    )
+
+
+def test_random_fragmenter_lengths(pendulum_trajs):
+    frag = pc.RandomFragmenter(rng=0, warning_threshold=0)
+    pairs = frag(pendulum_trajs, fragment_length=20, num_pairs=5)
+    assert len(pairs) == 5
+    for f1, f2 in pairs:
+        assert len(f1) == 20 and len(f2) == 20
+        assert f1.obs.shape == (21, 3)
+
+
+def test_random_fragmenter_too_short_raises(pendulum_trajs):
+    frag = pc.RandomFragmenter(rng=0)
+    with pytest.raises(ValueError, match="long enough"):
+        frag(pendulum_trajs, fragment_length=10_000, num_pairs=1)
+
+
+def test_synthetic_gatherer_deterministic(pendulum_trajs):
+    frag = pc.RandomFragmenter(rng=0, warning_threshold=0)
+    pairs = frag(pendulum_trajs, fragment_length=10, num_pairs=4)
+    gatherer = pc.SyntheticGatherer(temperature=0, sample=False)
+    prefs = gatherer(pairs)
+    for (f1, f2), p in zip(pairs, prefs):
+        expected = (np.sign(f1.rews.sum() - f2.rews.sum()) + 1) / 2
+        assert p == expected
+
+
+def test_synthetic_gatherer_sample_requires_rng():
+    with pytest.raises(ValueError, match="rng"):
+        pc.SyntheticGatherer(sample=True, rng=None)
+
+
+def test_preference_dataset_fifo(pendulum_trajs):
+    frag = pc.RandomFragmenter(rng=0, warning_threshold=0)
+    pairs = frag(pendulum_trajs, fragment_length=5, num_pairs=6)
+    ds = pc.PreferenceDataset(max_size=4)
+    ds.push(pairs[:3], np.ones(3, np.float32))
+    assert len(ds) == 3
+    ds.push(pairs[3:], np.zeros(3, np.float32))
+    assert len(ds) == 4  # FIFO evicted the 2 oldest
+    np.testing.assert_array_equal(ds.preferences, [1, 0, 0, 0])
+
+
+def test_preference_dataset_validation(pendulum_trajs):
+    frag = pc.RandomFragmenter(rng=0, warning_threshold=0)
+    pairs = frag(pendulum_trajs, fragment_length=5, num_pairs=2)
+    ds = pc.PreferenceDataset()
+    with pytest.raises(ValueError, match="shape"):
+        ds.push(pairs, np.ones(3, np.float32))
+    with pytest.raises(ValueError, match="dtype"):
+        ds.push(pairs, np.ones(2, np.float64))
+
+
+def test_preference_model_prob_sign(reward_net, pendulum_trajs):
+    """Fragment with higher predicted return gets probability > 0.5."""
+    variables = reward_net.init_variables(jax.random.key(0))
+    model = pc.PreferenceModel(reward_net)
+    frag = pc.RandomFragmenter(rng=0, warning_threshold=0)
+    pairs = frag(pendulum_trajs, fragment_length=8, num_pairs=6)
+    batch = pc.FragmentBatch.from_pairs(pairs, np.zeros(6, np.float32))
+    rews = model.fragment_rewards(variables, batch)
+    assert rews.shape == (6, 2, 8)
+    probs = model.probability_from_rewards(rews)
+    returns = np.asarray(rews.sum(-1))
+    expected_first_better = returns[:, 0] > returns[:, 1]
+    np.testing.assert_array_equal(np.asarray(probs) > 0.5, expected_first_better)
+
+
+def test_preference_model_noise_prob(reward_net, pendulum_trajs):
+    variables = reward_net.init_variables(jax.random.key(0))
+    model = pc.PreferenceModel(reward_net, noise_prob=1.0)
+    frag = pc.RandomFragmenter(rng=0, warning_threshold=0)
+    pairs = frag(pendulum_trajs, fragment_length=8, num_pairs=3)
+    batch = pc.FragmentBatch.from_pairs(pairs, np.zeros(3, np.float32))
+    probs = model(variables, batch)
+    np.testing.assert_allclose(np.asarray(probs), 0.5)
+
+
+def test_basic_reward_trainer_reduces_loss(reward_net, pendulum_trajs):
+    variables = reward_net.init_variables(jax.random.key(0))
+    model = pc.PreferenceModel(reward_net)
+    trainer = pc.BasicRewardTrainer(model, epochs=5, batch_size=8, lr=1e-2)
+    trainer.attach(variables)
+    frag = pc.RandomFragmenter(rng=0, warning_threshold=0)
+    pairs = frag(pendulum_trajs, fragment_length=10, num_pairs=16)
+    gatherer = pc.SyntheticGatherer(rng=np.random.default_rng(0))
+    ds = pc.PreferenceDataset()
+    ds.push(pairs, gatherer(pairs))
+    batch = ds.as_batch()
+    loss0 = trainer._eval_loss(trainer.variables, batch)
+    trainer.train(ds)
+    loss1 = trainer._eval_loss(trainer.variables, batch)
+    assert loss1 < loss0
+
+
+def test_ensemble_trainer_and_active_selection(pendulum_trajs):
+    venv = make_vec_env("Pendulum-v1", num_envs=2)
+    ens = RewardEnsemble(
+        observation_space=venv.observation_space,
+        action_space=venv.action_space,
+        member_cls=BasicRewardNet,
+        num_members=3,
+    )
+    variables = ens.init_variables(jax.random.key(0))
+    model = pc.PreferenceModel(ens)
+    trainer = pc.EnsembleTrainer(model, epochs=2, batch_size=8)
+    trainer.attach(variables)
+    frag = pc.RandomFragmenter(rng=0, warning_threshold=0)
+    active = pc.ActiveSelectionFragmenter(
+        preference_model=model,
+        base_fragmenter=frag,
+        fragment_sample_factor=3.0,
+        uncertainty_on="probability",
+    )
+    active.variables = variables
+    pairs = active(pendulum_trajs, fragment_length=8, num_pairs=4)
+    assert len(pairs) == 4
+    gatherer = pc.SyntheticGatherer(rng=np.random.default_rng(0))
+    ds = pc.PreferenceDataset()
+    ds.push(pairs, gatherer(pairs))
+    trainer.train(ds)  # no crash; params updated
+
+
+def test_active_selection_requires_ensemble(reward_net):
+    model = pc.PreferenceModel(reward_net)
+    with pytest.raises(ValueError, match="ensemble"):
+        pc.ActiveSelectionFragmenter(
+            preference_model=model,
+            base_fragmenter=pc.RandomFragmenter(rng=0),
+            fragment_sample_factor=2.0,
+        )
+
+
+def test_query_schedule_oric_sums():
+    from imitation_tpu.util.util import oric
+
+    probs = np.array([0.3, 0.3, 0.4])
+    shares = oric(probs * 10)
+    assert shares.sum() == 10
+
+
+def test_trajectory_dataset_sample(pendulum_trajs):
+    ds = pc.TrajectoryDataset(pendulum_trajs, rng=0)
+    out = ds.sample(300)
+    assert sum(len(t) for t in out) >= 300
+    with pytest.raises(RuntimeError, match="available"):
+        ds.sample(10**9)
+
+
+@pytest.mark.slow
+def test_full_loop_smoke(pendulum_trajs):
+    venv = make_vec_env("Pendulum-v1", num_envs=4)
+    reward_net = BasicRewardNet(
+        observation_space=venv.observation_space,
+        action_space=venv.action_space,
+    )
+    policy = ActorCriticPolicy(
+        observation_space=venv.observation_space, action_space=venv.action_space
+    )
+    ppo = PPO(venv, policy, PPOConfig(n_steps=32, n_minibatches=4, n_epochs=2))
+    agent_trainer = pc.AgentTrainer(ppo, reward_net, venv, rng=0, exploration_frac=0.1)
+    main = pc.PreferenceComparisons(
+        agent_trainer,
+        reward_net,
+        num_iterations=2,
+        fragment_length=10,
+        comparison_queue_size=60,
+        initial_epoch_multiplier=2,
+        rng=0,
+    )
+    result = main.train(total_timesteps=512, total_comparisons=30)
+    assert result["reward_loss"] is not None
+    assert np.isfinite(result["reward_loss"])
+    assert len(main.dataset) > 0
+    # reward model learned something about preferences on its own data
+    assert result["reward_accuracy"] is None or result["reward_accuracy"] >= 0.4
