@@ -1,0 +1,124 @@
+"""train_adversarial: gail / airl commands.
+
+Counterpart of reference ``scripts/train_adversarial.py`` (:67-187):
+trains GAIL or AIRL from demonstrations, checkpoints reward_train /
+reward_test / generator policy, evaluates the final policy.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict
+
+from imitation_tpu.algorithms.adversarial.airl import AIRL
+from imitation_tpu.algorithms.adversarial.gail import GAIL
+from imitation_tpu.policies import serialize as policy_serialize
+from imitation_tpu.rewards import serialize as reward_serialize
+from imitation_tpu.rl.ppo import PPOConfig
+from imitation_tpu.scripts import ingredients
+from imitation_tpu.scripts.config import Experiment
+
+DEFAULT_CONFIG: Dict[str, Any] = {
+    **ingredients.ENV_DEFAULTS,
+    **ingredients.EVAL_DEFAULTS,
+    "seed": 0,
+    "log_root": os.path.join("output", "train_adversarial"),
+    "log_dir": None,
+    "log_format_strs": ["stdout", "csv", "json"],
+    "demonstrations": {"source": "generated", "n_expert_demos": 10, "path": None},
+    "expert": {"policy_type": "scripted", "loader_kwargs": {}},
+    "total_timesteps": 100_000,
+    "checkpoint_interval": 0,  # rounds between checkpoints; 0 = final only
+    "algorithm_kwargs": {
+        "demo_batch_size": 1024,
+        "n_disc_updates_per_round": 4,
+    },
+    "rl": {
+        "n_steps": 256,
+        "batch_size": 64,
+        "n_epochs": 5,
+        "learning_rate": 3e-4,
+        "ent_coef": 0.0,
+    },
+}
+
+ex = Experiment("train_adversarial", DEFAULT_CONFIG)
+ex.named_config("fast", {
+    "num_envs": 2,
+    "max_episode_steps": 20,
+    "n_episodes_eval": 2,
+    "total_timesteps": 256,
+    "demonstrations": {"n_expert_demos": 2},
+    "algorithm_kwargs": {"demo_batch_size": 16, "n_disc_updates_per_round": 2},
+    "rl": {"n_steps": 16, "batch_size": 16, "n_epochs": 1},
+})
+
+
+def _train(algo_cls, config: Dict[str, Any], run_dir: str, logger) -> Dict[str, Any]:
+    venv = ingredients.make_venv_from_config(config)
+    demos = ingredients.get_expert_trajectories(config, venv)
+    rl_cfg = config["rl"]
+    batch = rl_cfg["n_steps"] * venv.num_envs
+    gen_config = PPOConfig(
+        n_steps=rl_cfg["n_steps"],
+        n_minibatches=max(1, batch // rl_cfg["batch_size"]),
+        n_epochs=rl_cfg["n_epochs"],
+        learning_rate=rl_cfg["learning_rate"],
+        ent_coef=rl_cfg["ent_coef"],
+    )
+    trainer = algo_cls(
+        demonstrations=demos,
+        venv=venv,
+        gen_config=gen_config,
+        custom_logger=logger,
+        allow_variable_horizon=config.get("allow_variable_horizon", True),
+        seed=config["seed"],
+        **config["algorithm_kwargs"],
+    )
+
+    def save_checkpoint(tag: str):
+        # reference train_adversarial.py:25-35: reward_train/reward_test/gen_policy
+        ckpt = os.path.join(run_dir, "checkpoints", tag)
+        reward_serialize.save_reward_net(
+            os.path.join(ckpt, "reward_train"),
+            trainer.reward_net,
+            trainer.disc_state.variables,
+        )
+        reward_serialize.save_reward_net(
+            os.path.join(ckpt, "reward_test"),
+            trainer.reward_net,
+            trainer.disc_state.variables,
+        )
+        policy_serialize.save_policy(
+            os.path.join(ckpt, "gen_policy"),
+            trainer.policy,
+            trainer.policy_variables,
+        )
+
+    interval = config["checkpoint_interval"]
+    callback = None
+    if interval > 0:
+        callback = lambda r: save_checkpoint(f"{r:05d}") if r % interval == 0 else None
+    trainer.train(config["total_timesteps"], callback=callback)
+    save_checkpoint("final")
+    stats = ingredients.eval_policy_stats(
+        trainer.policy.sample_fn(), trainer.policy_variables, venv, config
+    )
+    for k, v in stats.items():
+        logger.record(f"imit_stats/{k}", v)
+    logger.dump(0)
+    return {"imit_stats": stats}
+
+
+@ex.command("gail")
+def gail_cmd(config, run_dir, logger):
+    return _train(GAIL, config, run_dir, logger)
+
+
+@ex.command("airl")
+def airl_cmd(config, run_dir, logger):
+    return _train(AIRL, config, run_dir, logger)
+
+
+if __name__ == "__main__":
+    ex.run_cli()

@@ -1,0 +1,133 @@
+"""End-to-end CLI tests with fast configs (reference tests/scripts/test_scripts.py)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from imitation_tpu.scripts import (
+    eval_policy,
+    train_adversarial,
+    train_imitation,
+    train_preference_comparisons,
+    train_rl,
+)
+
+
+def run(ex, argv, tmp_path, sub):
+    argv = list(argv) + [f"log_root={tmp_path / sub}"]
+    return ex.ex.run_cli(argv) if hasattr(ex, "ex") else ex.run_cli(argv)
+
+
+def _latest_run_dir(root):
+    dirs = []
+    for env_dir in root.iterdir():
+        dirs.extend(p for p in env_dir.iterdir() if p.is_dir())
+    return sorted(dirs)[-1]
+
+
+def test_train_rl_fast(tmp_path):
+    result = train_rl.ex.run_cli(["with", "fast", f"log_root={tmp_path}"])
+    assert "return_mean" in result
+    run_dir = _latest_run_dir(tmp_path)
+    assert (run_dir / "config.json").exists()
+    run_json = json.loads((run_dir / "run.json").read_text())
+    assert run_json["status"] == "COMPLETED"
+    assert (run_dir / "rollouts" / "final").exists()
+    assert (run_dir / "policies" / "final" / "policy_config.json").exists()
+
+
+@pytest.mark.parametrize("command", ["bc", "dagger", "sqil"])
+def test_train_imitation_fast(tmp_path, command):
+    result = train_imitation.ex.run_cli(
+        [command, "with", "fast", f"log_root={tmp_path}"]
+    )
+    assert "imit_stats" in result
+    assert np.isfinite(result["imit_stats"]["return_mean"])
+
+
+@pytest.mark.parametrize("command", ["gail", "airl"])
+def test_train_adversarial_fast(tmp_path, command):
+    result = train_adversarial.ex.run_cli(
+        [command, "with", "fast", f"log_root={tmp_path}"]
+    )
+    assert "imit_stats" in result
+    run_dir = _latest_run_dir(tmp_path)
+    ckpt = run_dir / "checkpoints" / "final"
+    assert (ckpt / "reward_train" / "reward_config.json").exists()
+    assert (ckpt / "gen_policy" / "policy_config.json").exists()
+
+
+def test_train_preference_comparisons_fast(tmp_path):
+    result = train_preference_comparisons.ex.run_cli(
+        ["with", "fast", f"log_root={tmp_path}"]
+    )
+    assert result["reward_loss"] is not None
+    run_dir = _latest_run_dir(tmp_path)
+    assert (run_dir / "preferences.pkl").exists()
+
+
+def test_train_preference_comparisons_ensemble_fast(tmp_path):
+    result = train_preference_comparisons.ex.run_cli(
+        ["with", "fast", "ensemble", f"log_root={tmp_path}"]
+    )
+    assert result["reward_loss"] is not None
+
+
+def test_eval_policy_fast(tmp_path):
+    result = eval_policy.ex.run_cli(["with", "fast", f"log_root={tmp_path}"])
+    assert "return_mean" in result
+    # scripted CartPole expert under 20-step cap: every episode returns 20
+    assert result["return_mean"] == 20.0
+
+
+def test_eval_policy_exploration(tmp_path):
+    result = eval_policy.ex.run_cli([
+        "with", "fast", f"log_root={tmp_path}",
+        "explore_kwargs={'random_prob': 1.0, 'switch_prob': 1.0}",
+    ])
+    assert "return_mean" in result
+
+
+def test_reward_transfer_roundtrip(tmp_path):
+    """Train AIRL fast, then train_rl on the saved learned reward
+    (reference test_transfer_learning, test_scripts.py:674)."""
+    train_adversarial.ex.run_cli(
+        ["airl", "with", "fast", f"log_root={tmp_path / 'adv'}"]
+    )
+    run_dir = _latest_run_dir(tmp_path / "adv")
+    reward_path = str(run_dir / "checkpoints" / "final" / "reward_test")
+    result = train_rl.ex.run_cli([
+        "with", "fast", f"log_root={tmp_path / 'rl'}",
+        "reward_type=RewardNet_unshaped", f"reward_path={reward_path}",
+    ])
+    assert "return_mean" in result
+
+
+def test_print_config(capsys):
+    train_rl.ex.run_cli(["print_config", "fast"])
+    out = capsys.readouterr().out
+    cfg = json.loads(out)
+    assert cfg["total_timesteps"] == 2048
+
+
+def test_convert_trajs_roundtrip(tmp_path):
+    from imitation_tpu.data import serialize
+    from imitation_tpu.envs import make_vec_env
+    from imitation_tpu.scripts.convert_trajs import update_traj_file_in_place
+    from imitation_tpu.testing import experts
+
+    venv = make_vec_env("CartPole-v1", num_envs=2, max_episode_steps=10)
+    trajs = experts.generate_expert_trajectories("CartPole-v1", venv, min_episodes=2)
+    path = tmp_path / "rollouts"
+    serialize.save(str(path), trajs)
+    out = update_traj_file_in_place(path)
+    reloaded = serialize.load(str(out))
+    assert len(reloaded) == len(trajs)
+    np.testing.assert_array_equal(reloaded[0].acts, trajs[0].acts)
+
+
+def test_unknown_named_config_raises():
+    with pytest.raises(KeyError, match="unknown named config"):
+        train_rl.ex.run_cli(["with", "nonexistent_config"])
