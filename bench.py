@@ -33,10 +33,14 @@ def main():
     n_steps = 128  # 131k env-steps per round
     venv = make_vec_env("CartPole-v1", num_envs=num_envs, max_episode_steps=500)
 
-    demo_venv = make_vec_env("CartPole-v1", num_envs=64, max_episode_steps=100)
-    demos = experts.generate_expert_trajectories(
-        "CartPole-v1", demo_venv, min_episodes=64, seed=0
-    )
+    # Demo generation is data prep, not the benchmarked path — run it on the
+    # host CPU backend so the TPU only compiles the training programs.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        demo_venv = make_vec_env("CartPole-v1", num_envs=64, max_episode_steps=100)
+        demos = experts.generate_expert_trajectories(
+            "CartPole-v1", demo_venv, min_episodes=64, seed=0
+        )
 
     trainer = GAIL(
         demonstrations=demos,
