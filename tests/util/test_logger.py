@@ -1,0 +1,112 @@
+"""HierarchicalLogger tests (reference tests/util/test_logger.py, 321 LoC)."""
+
+import csv
+import os
+
+import pytest
+
+from imitation_tpu.util.logger import configure
+
+
+def read_csv(path):
+    with open(path, newline="") as f:
+        return list(csv.DictReader(f))
+
+
+def test_basic_record_dump(tmp_path):
+    logger = configure(str(tmp_path), ["csv"])
+    logger.record("a", 1.0)
+    logger.record("b", 2.0)
+    logger.dump(step=0)
+    rows = read_csv(tmp_path / "progress.csv")
+    assert rows[0]["a"] == "1.0"
+    assert rows[0]["b"] == "2.0"
+
+
+def test_accumulate_means_semantics(tmp_path):
+    """Raw values go to the sub-logger; means accumulate into the default
+    logger under mean/{name}/... and flush on the next default dump."""
+    logger = configure(str(tmp_path), ["csv"])
+    with logger.accumulate_means("gen"):
+        logger.record("loss", 1.0)
+        logger.dump(step=0)
+        logger.record("loss", 3.0)
+        logger.dump(step=1)
+    logger.record("outer", 42)
+    logger.dump(step=2)
+    # default CSV has the mean of the two recorded values
+    rows = read_csv(tmp_path / "progress.csv")
+    assert float(rows[0]["mean/gen/loss"]) == 2.0
+    assert rows[0]["outer"] == "42"
+    # raw CSV contains both raw values
+    raw_rows = read_csv(tmp_path / "raw" / "gen" / "progress.csv")
+    assert [r["raw/gen/loss"] for r in raw_rows] == ["1.0", "3.0"]
+
+
+def test_accumulate_means_nested_raises(tmp_path):
+    logger = configure(str(tmp_path), [])
+    with logger.accumulate_means("a"):
+        with pytest.raises(RuntimeError, match="[Nn]ested"):
+            with logger.accumulate_means("b"):
+                pass
+
+
+def test_key_prefix(tmp_path):
+    logger = configure(str(tmp_path), ["csv"])
+    with logger.add_key_prefix("pref"):
+        logger.record("x", 1)
+    logger.dump(0)
+    rows = read_csv(tmp_path / "progress.csv")
+    assert "pref/x" in rows[0]
+
+
+def test_accumulate_prefix(tmp_path):
+    logger = configure(str(tmp_path), ["csv"])
+    with logger.add_accumulate_prefix("wrapped"):
+        with logger.accumulate_means("gen"):
+            logger.record("loss", 5.0)
+            logger.dump(0)
+    logger.dump(0)
+    rows = read_csv(tmp_path / "progress.csv")
+    assert float(rows[0]["mean/wrapped/gen/loss"]) == 5.0
+
+
+def test_accumulate_prefix_inside_context_raises(tmp_path):
+    logger = configure(str(tmp_path), [])
+    with logger.accumulate_means("gen"):
+        with pytest.raises(RuntimeError):
+            with logger.add_accumulate_prefix("x"):
+                pass
+
+
+def test_csv_adds_columns_lazily(tmp_path):
+    logger = configure(str(tmp_path), ["csv"])
+    logger.record("a", 1)
+    logger.dump(0)
+    logger.record("a", 2)
+    logger.record("b", 3)
+    logger.dump(1)
+    rows = read_csv(tmp_path / "progress.csv")
+    assert rows[0]["b"] == ""
+    assert rows[1]["b"] == "3"
+
+
+def test_json_output(tmp_path):
+    import json
+
+    logger = configure(str(tmp_path), ["json"])
+    logger.record("k", 1.5)
+    logger.dump(7)
+    with open(tmp_path / "progress.json") as f:
+        rec = json.loads(f.readline())
+    assert rec["k"] == 1.5
+    assert rec["_step"] == 7
+
+
+def test_record_mean_outside_context(tmp_path):
+    logger = configure(str(tmp_path), ["csv"])
+    logger.record_mean("m", 1.0)
+    logger.record_mean("m", 3.0)
+    logger.dump(0)
+    rows = read_csv(tmp_path / "progress.csv")
+    assert float(rows[0]["m"]) == 2.0
