@@ -110,6 +110,67 @@ def collect(
 # ---------------------------------------------------------------------------
 
 
+class HostCollector:
+    """Rollout collection for host (gym-bridge) vector envs.
+
+    The policy apply stays jitted on device; only env stepping happens on
+    host — the same split as the reference's SB3 collect loop, but with the
+    policy batched over all envs in one device call per step.
+    """
+
+    def __init__(self, venv, policy_apply: PolicyApply, params: Any, seed: int = 0):
+        self.venv = venv
+        self._apply = jax.jit(policy_apply)
+        self.params = params
+        self.key = jax.random.key(seed)
+        self.obs = venv.reset(seed=seed)
+
+    def collect(self, num_steps: int) -> RolloutChunk:
+        recs = {k: [] for k in (
+            "obs", "acts", "rews", "next_obs", "terminated", "truncated",
+            "episode_return", "episode_length",
+        )}
+        for _ in range(num_steps):
+            self.key, k_act = jax.random.split(self.key)
+            acts, _aux = self._apply(self.params, jnp.asarray(self.obs), k_act)
+            acts = np.asarray(acts)
+            out = self.venv.step(acts)
+            recs["obs"].append(self.obs)
+            recs["acts"].append(acts)
+            recs["rews"].append(out["reward"])
+            recs["next_obs"].append(out["terminal_obs"])
+            recs["terminated"].append(out["terminated"])
+            recs["truncated"].append(out["truncated"])
+            recs["episode_return"].append(out["episode_return"])
+            recs["episode_length"].append(out["episode_length"])
+            self.obs = out["obs"]
+        stacked = {k: np.stack(v) for k, v in recs.items()}
+        return RolloutChunk(aux={}, **{k: jnp.asarray(v) for k, v in stacked.items()})
+
+
+def generate_trajectories_host(
+    policy_apply: PolicyApply,
+    params: Any,
+    venv,
+    sample_until: GenTrajTerminationFn,
+    rng,
+    *,
+    chunk_size: int = 128,
+) -> Sequence[types.TrajectoryWithRew]:
+    """Host-env twin of generate_trajectories (gym-bridge path)."""
+    seed = int(rng) if isinstance(rng, (int, np.integer)) else int(
+        np.random.default_rng().integers(0, 2**31 - 1)
+    )
+    collector = HostCollector(venv, policy_apply, params, seed=seed)
+    accum = TrajectoryAccumulator(venv.num_envs)
+    trajectories: list = []
+    while not sample_until(trajectories):
+        chunk = collector.collect(chunk_size)
+        trajectories.extend(accum.add_chunk(chunk))
+    perm = np.random.default_rng(seed).permutation(len(trajectories))
+    return [trajectories[i] for i in perm]
+
+
 def chunk_to_transitions(chunk: RolloutChunk) -> types.TransitionBatch:
     """Flattens a [T, B] rollout chunk into a [T*B] TransitionBatch (device)."""
     T, B = chunk.acts.shape[0], chunk.acts.shape[1]
@@ -244,7 +305,13 @@ def generate_trajectories(
     on host between chunks. Completed trajectories are shuffled before being
     returned so truncation by the caller does not bias toward short episodes
     (reference: src/imitation/data/rollout.py:434-472).
+
+    Host (gym-bridge) vector envs are dispatched to the host collector.
     """
+    if getattr(venv, "is_host", False):
+        return generate_trajectories_host(
+            policy_apply, params, venv, sample_until, rng, chunk_size=chunk_size
+        )
     if isinstance(rng, np.random.Generator):
         seed = int(rng.integers(0, 2**31 - 1))
     elif isinstance(rng, (int, np.integer)):

@@ -85,6 +85,7 @@ class HostVectorEnv:
         num_envs: int = 8,
         max_episode_steps: Optional[int] = None,
         seed: Optional[int] = None,
+        num_threads: Optional[int] = None,
     ):
         self.env = env
         self.num_envs = num_envs
@@ -93,6 +94,19 @@ class HostVectorEnv:
         self._seed = seed if seed is not None else 0
         self._t = np.zeros(num_envs, np.int32)
         self._ep_ret = np.zeros(num_envs, np.float64)
+        # Thread pool replaces the reference's SubprocVecEnv worker processes
+        # (util/util.py:163-166): native env cores (MuJoCo) release the GIL
+        # during mj_step, so threads give process-level parallelism without
+        # pipes or pickling.
+        self._pool = None
+        if num_threads is None:
+            import os
+
+            num_threads = min(num_envs, os.cpu_count() or 1)
+        if num_threads > 1 and num_envs > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=num_threads)
 
     @property
     def observation_space(self) -> Space:
@@ -113,43 +127,43 @@ class HostVectorEnv:
         self._ep_ret[:] = 0
         return np.stack(obs)
 
+    def _step_one(self, i: int, action) -> tuple:
+        e = self._envs[i]
+        o, r, term, trunc, info = e.step(np.asarray(action))
+        self._t[i] += 1
+        self._ep_ret[i] += float(r)
+        if self.max_episode_steps is not None and self._t[i] >= self.max_episode_steps:
+            trunc = trunc or not term
+        term_o = o
+        ep_ret, ep_len = self._ep_ret[i], self._t[i]
+        if term or trunc:
+            o, _ = e.reset()
+            self._t[i] = 0
+            self._ep_ret[i] = 0
+        return o, term_o, r, term, trunc, ep_ret, ep_len
+
     def step(self, actions: np.ndarray):
         """Returns dict with same fields as VecStep (numpy)."""
         B = self.num_envs
-        obs = [None] * B
-        term_obs = [None] * B
-        rew = np.zeros(B, np.float32)
-        terminated = np.zeros(B, bool)
-        truncated = np.zeros(B, bool)
-        ep_return = np.zeros(B, np.float32)
-        ep_length = np.zeros(B, np.int32)
-        for i, e in enumerate(self._envs):
-            o, r, term, trunc, info = e.step(np.asarray(actions[i]))
-            self._t[i] += 1
-            self._ep_ret[i] += float(r)
-            if self.max_episode_steps is not None and self._t[i] >= self.max_episode_steps:
-                trunc = trunc or not term
-            term_obs[i] = o
-            rew[i] = r
-            terminated[i] = term
-            truncated[i] = trunc
-            ep_return[i] = self._ep_ret[i]
-            ep_length[i] = self._t[i]
-            if term or trunc:
-                o, _ = e.reset()
-                self._t[i] = 0
-                self._ep_ret[i] = 0
-            obs[i] = o
+        if self._pool is not None:
+            results = list(
+                self._pool.map(self._step_one, range(B), list(actions))
+            )
+        else:
+            results = [self._step_one(i, actions[i]) for i in range(B)]
+        obs, term_obs, rew, term, trunc, ep_ret, ep_len = zip(*results)
         return dict(
             obs=np.stack(obs),
             terminal_obs=np.stack(term_obs),
-            reward=rew,
-            terminated=terminated,
-            truncated=truncated,
-            episode_return=ep_return,
-            episode_length=ep_length,
+            reward=np.asarray(rew, np.float32),
+            terminated=np.asarray(term, bool),
+            truncated=np.asarray(trunc, bool),
+            episode_return=np.asarray(ep_ret, np.float32),
+            episode_length=np.asarray(ep_len, np.int32),
         )
 
     def close(self):
+        if self._pool is not None:
+            self._pool.shutdown()
         for e in self._envs:
             e.close()

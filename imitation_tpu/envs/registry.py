@@ -58,6 +58,10 @@ def make_vec_env(
     is just a leading batch dimension, so thousands are as cheap as eight.
     """
     env = make_env(name, **env_kwargs)
+    from imitation_tpu.envs.gym_bridge import GymHostEnv, HostVectorEnv
+
+    if isinstance(env, GymHostEnv):
+        return HostVectorEnv(env, num_envs=num_envs, max_episode_steps=max_episode_steps)
     return VectorEnv(env, num_envs=num_envs, max_episode_steps=max_episode_steps)
 
 
@@ -75,3 +79,41 @@ register("seals/Pendulum-v0", classic.Pendulum)  # Pendulum is already fixed-hor
 def _with_horizon(env: Env, horizon: int) -> Env:
     env.max_episode_steps = horizon
     return env
+
+
+# seals-style MuJoCo envs (the reference benchmark matrix:
+# benchmarking/README.md:3-6 — ant, half_cheetah, hopper, swimmer, walker).
+# seals' defining changes vs plain gym MuJoCo: fixed horizon (no early
+# termination) and positions included in observations. Stepped on host
+# through the gym bridge (MuJoCo's C core, GIL-releasing threads).
+def _register_seals_mujoco():
+    import functools
+
+    specs = {
+        "seals/HalfCheetah-v0": ("HalfCheetah-v5", {}),
+        "seals/HalfCheetah-v1": ("HalfCheetah-v5", {}),
+        "seals/Ant-v0": ("Ant-v5", {"terminate_when_unhealthy": False}),
+        "seals/Ant-v1": ("Ant-v5", {"terminate_when_unhealthy": False}),
+        "seals/Hopper-v0": ("Hopper-v5", {"terminate_when_unhealthy": False}),
+        "seals/Hopper-v1": ("Hopper-v5", {"terminate_when_unhealthy": False}),
+        "seals/Walker2d-v0": ("Walker2d-v5", {"terminate_when_unhealthy": False}),
+        "seals/Walker2d-v1": ("Walker2d-v5", {"terminate_when_unhealthy": False}),
+        "seals/Swimmer-v0": ("Swimmer-v5", {}),
+        "seals/Swimmer-v1": ("Swimmer-v5", {}),
+    }
+
+    def factory(base_id, base_kwargs, **kw):
+        from imitation_tpu.envs.gym_bridge import GymHostEnv
+
+        kwargs = {
+            "exclude_current_positions_from_observation": False,
+            **base_kwargs,
+            **kw,
+        }
+        return GymHostEnv(base_id, **kwargs)
+
+    for name, (base_id, base_kwargs) in specs.items():
+        register(name, functools.partial(factory, base_id, base_kwargs))
+
+
+_register_seals_mujoco()

@@ -83,7 +83,16 @@ class PPO:
                 f"n_steps*n_envs={batch} not divisible by "
                 f"n_minibatches={config.n_minibatches}"
             )
-        self._train_step_jit = jax.jit(self.train_step)
+        self.is_host_env = bool(getattr(venv, "is_host", False))
+        self._host_collector = None
+        if self.is_host_env:
+            # Host (gym-bridge) envs: env stepping on host, everything after
+            # the collect — relabel, GAE, all PPO updates — in one jitted
+            # program over the chunk.
+            self._process_chunk_jit = jax.jit(self.process_chunk)
+            self._train_step_jit = self.train_step_host
+        else:
+            self._train_step_jit = jax.jit(self.train_step)
 
     # -- state -------------------------------------------------------------
     def init_state(self, key: Optional[jax.Array] = None) -> common.RLState:
@@ -92,7 +101,13 @@ class PPO:
         variables = self.policy.init(k_init)
         params = variables["params"]
         opt_state = self.optimizer.init(params)
-        env_state = self.venv.reset(k_env)
+        if self.is_host_env:
+            env_state = None
+            self._host_collector = rollout_mod.HostCollector(
+                self.venv, self.policy.sample_fn(), variables, seed=self._seed
+            )
+        else:
+            env_state = self.venv.reset(k_env)
         return common.RLState(
             variables=variables,
             opt_state=opt_state,
@@ -105,20 +120,39 @@ class PPO:
     # -- pure train step ---------------------------------------------------
     def train_step(
         self, state: common.RLState, reward_params: Any = None
-    ) -> Tuple[common.RLState, Dict[str, jnp.ndarray]]:
-        cfg = self.config
-        key, k_roll, k_perm = jax.random.split(state.key, 3)
-
-        # 1. Rollout.
+    ):
+        """Device path: rollout + update fused into one program."""
+        key, k_roll, k_proc = jax.random.split(state.key, 3)
         env_state, chunk = rollout_mod.collect(
             self.venv,
             self.policy.sample_fn(),
             state.variables,
             state.env_state,
-            cfg.n_steps,
+            self.config.n_steps,
             k_roll,
         )
-        T, B = cfg.n_steps, self.venv.num_envs
+        return self.process_chunk(state, env_state, chunk, k_proc, reward_params)
+
+    def train_step_host(self, state: common.RLState, reward_params: Any = None):
+        """Host-env path: collect on host, jitted processing on device."""
+        assert self._host_collector is not None, "call init_state() first"
+        self._host_collector.params = state.variables
+        chunk = self._host_collector.collect(self.config.n_steps)
+        key, k_proc = jax.random.split(state.key)
+        state = state.replace(key=key)
+        return self._process_chunk_jit(state, None, chunk, k_proc, reward_params)
+
+    def process_chunk(
+        self,
+        state: common.RLState,
+        env_state: Any,
+        chunk: rollout_mod.RolloutChunk,
+        key: jax.Array,
+        reward_params: Any = None,
+    ) -> Tuple[common.RLState, Dict[str, jnp.ndarray]]:
+        cfg = self.config
+        key, k_perm = jax.random.split(key)
+        T, B = chunk.acts.shape[0], chunk.acts.shape[1]
 
         # 2. Optional reward relabeling (fused batched reward-net forward).
         true_rews = chunk.rews
@@ -134,10 +168,24 @@ class PPO:
         else:
             rews = true_rews
 
-        # 3. GAE. values for obs come from rollout aux; next-values from one
-        # batched forward over next_obs (exact truncation bootstrap).
-        values = chunk.aux["value"]
+        # 3. GAE. values for obs come from rollout aux (recomputed in one
+        # batched forward for host chunks, which carry no aux); next-values
+        # from one batched forward over next_obs (exact truncation bootstrap).
         flat2 = lambda x: x.reshape((T * B,) + x.shape[2:])
+        aux = chunk.aux if isinstance(chunk.aux, dict) and "value" in chunk.aux else None
+        if aux is None:
+            obs_flat = jax.tree.map(flat2, chunk.obs)
+            dist, values_flat = self.policy.dist_and_value(state.variables, obs_flat)
+            acts_flat = flat2(chunk.acts)
+            if self.policy.action_space.is_discrete:
+                lp_flat = dist.log_prob(acts_flat.astype(jnp.int32))
+            else:
+                lp_flat = dist.log_prob(acts_flat.reshape(acts_flat.shape[0], -1))
+            values = values_flat.reshape(T, B)
+            log_probs = lp_flat.reshape(T, B)
+        else:
+            values = aux["value"]
+            log_probs = aux["log_prob"]
         next_values = self.policy.value(
             state.variables, jax.tree.map(flat2, chunk.next_obs)
         ).reshape(T, B)
@@ -155,7 +203,7 @@ class PPO:
         batch = {
             "obs": jax.tree.map(flat2, chunk.obs),
             "acts": flat2(chunk.acts),
-            "old_log_prob": flat2(chunk.aux["log_prob"]),
+            "old_log_prob": flat2(log_probs),
             "old_value": flat2(values),
             "advantages": flat2(advantages),
             "returns": flat2(returns),
