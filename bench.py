@@ -52,19 +52,16 @@ def main():
         seed=0,
     )
 
-    def one_round():
-        trainer.train_gen()
-        for _ in range(trainer.n_disc_updates_per_round):
-            trainer.train_disc()
-
-    # Warmup / compile.
-    one_round()
+    n_rounds = 10
+    # Warmup / compile the fused multi-round program (same round count so the
+    # timed run re-uses the compiled executable).
+    trainer.train_fused(n_rounds * trainer.gen_train_timesteps, rounds_per_sync=n_rounds)
     jax.block_until_ready(trainer.gen_state.variables)
 
-    n_rounds = 5
     t0 = time.perf_counter()
-    for _ in range(n_rounds):
-        one_round()
+    trainer.train_fused(
+        n_rounds * trainer.gen_train_timesteps, rounds_per_sync=n_rounds
+    )
     jax.block_until_ready(trainer.gen_state.variables)
     elapsed = time.perf_counter() - t0
 

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import abc
 import dataclasses
+import functools
 from typing import Any, Callable, Dict, Mapping, Optional, Tuple, Union
 
 import jax
@@ -337,6 +338,81 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
             )
             metrics = {k: float(v) for k, v in jax.device_get(metrics_dev).items()}
         return metrics
+
+    # -- fused multi-round program -----------------------------------------
+    def _example_transitions(self) -> types.TransitionBatch:
+        obs_space, act_space = self.venv.observation_space, self.venv.action_space
+        obs = jnp.zeros((1,) + obs_space.shape, jnp.float32)
+        if act_space.is_discrete:
+            acts = jnp.zeros((1,), jnp.int32)
+        else:
+            acts = jnp.zeros((1,) + act_space.shape, jnp.float32)
+        return types.TransitionBatch(
+            obs=obs, acts=acts, next_obs=obs,
+            dones=jnp.zeros((1,)), rews=jnp.zeros((1,)),
+        )
+
+    def _round_step(self, carry, _):
+        """One adversarial round, fully traced: generator train step +
+        buffer refill + n_disc_updates_per_round discriminator steps."""
+        gen_state, disc_state, buffer_state = carry
+        gen_state, gen_metrics, chunk = self.gen_algo.train_step(
+            gen_state, disc_state.variables
+        )
+        transitions = rollout_chunk_to_transitions(chunk)
+        buffer_state = self._gen_replay_buffer.store(buffer_state, transitions)
+
+        def disc_body(ds, _):
+            ds, stats = self._disc_step(ds, buffer_state, gen_state.variables)
+            return ds, stats
+
+        disc_state, disc_stats = jax.lax.scan(
+            disc_body, disc_state, jnp.arange(self.n_disc_updates_per_round)
+        )
+        metrics = {f"gen/{k}": v for k, v in gen_metrics.items()}
+        metrics.update({f"disc/{k}": v.mean() for k, v in disc_stats.items()})
+        return (gen_state, disc_state, buffer_state), metrics
+
+    def train_fused(
+        self,
+        total_timesteps: int,
+        rounds_per_sync: int = 8,
+    ) -> None:
+        """Fused training: ``rounds_per_sync`` adversarial rounds run as ONE
+        jitted ``lax.scan`` program — zero host round trips between rounds.
+
+        This is the speed-of-light path for device envs (the reference's
+        equivalent loop crosses the host/device boundary thousands of times
+        per round, SURVEY §3.1); ``train()`` remains the step-by-step API
+        with per-round logging.
+        """
+        if self.gen_algo.is_host_env:
+            raise ValueError("train_fused requires a device (pure-JAX) env")
+        n_rounds = total_timesteps // self.gen_train_timesteps
+        assert n_rounds >= 1
+        if self.gen_state is None:
+            self.gen_state = self.gen_algo.init_state()
+        if self._gen_buffer_state is None:
+            self._gen_buffer_state = self._gen_replay_buffer.init_state(
+                self._example_transitions()
+            )
+
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def run_rounds(carry, k):
+            return jax.lax.scan(self._round_step, carry, None, length=k)
+
+        carry = (self.gen_state, self.disc_state, self._gen_buffer_state)
+        done_rounds = 0
+        while done_rounds < n_rounds:
+            k = min(rounds_per_sync, n_rounds - done_rounds)
+            carry, metrics = run_rounds(carry, k)
+            done_rounds += k
+            host = {k2: float(np.asarray(v).mean()) for k2, v in jax.device_get(metrics).items()}
+            for k2, v in host.items():
+                self.logger.record(f"mean/{k2}", v)
+            self._global_step += k
+            self.logger.dump(self._global_step)
+        self.gen_state, self.disc_state, self._gen_buffer_state = carry
 
     # -- outer loop --------------------------------------------------------
     def train(

@@ -116,6 +116,40 @@ class Space:
 
 
 @struct.dataclass
+class DictSpace:
+    """Dict observation space: mapping name -> Space (pytree-static).
+
+    The jit-friendly counterpart of gym.spaces.Dict — observations are plain
+    dict pytrees; policies flatten-and-concatenate leaves (the reference's
+    CombinedExtractor behavior, SB3 via policies/base.py:92-105).
+    """
+
+    spaces: Any = struct.field(pytree_node=False)  # Dict[str, Space]
+
+    @property
+    def is_discrete(self) -> bool:
+        return False
+
+    @property
+    def flat_dim(self) -> int:
+        return sum(s.flat_dim for s in self.spaces.values())
+
+    def keys(self):
+        return self.spaces.keys()
+
+    def __getitem__(self, k: str) -> "Space":
+        return self.spaces[k]
+
+    @property
+    def shape(self):
+        return {k: s.shape for k, s in self.spaces.items()}
+
+    @classmethod
+    def from_gym(cls, space) -> "DictSpace":
+        return cls(spaces={k: Space.from_gym(v) for k, v in space.spaces.items()})
+
+
+@struct.dataclass
 class TimeStep:
     """Result of one env step (pre-auto-reset).
 

@@ -49,8 +49,17 @@ class ActorCriticNet(nn.Module):
     compute_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, obs: jnp.ndarray, *, update_stats: bool = False):
-        x = obs.reshape((obs.shape[0], -1)).astype(self.compute_dtype)
+    def __call__(self, obs, *, update_stats: bool = False):
+        if isinstance(obs, dict):
+            # Dict observations: flatten + concat leaves in sorted key order
+            # (the reference's CombinedExtractor, used for DictObs policies).
+            parts = [
+                obs[k].reshape((obs[k].shape[0], -1)).astype(self.compute_dtype)
+                for k in sorted(obs.keys())
+            ]
+            x = jnp.concatenate(parts, axis=-1)
+        else:
+            x = obs.reshape((obs.shape[0], -1)).astype(self.compute_dtype)
         if self.normalize_features:
             # NormalizeFeaturesExtractor equivalent (reference policies/base.py:123-150)
             x = networks.RunningNorm(num_features=x.shape[-1], name="feat_norm")(
@@ -106,7 +115,14 @@ class ActorCriticPolicy:
 
     # -- init --------------------------------------------------------------
     def init(self, key: jax.Array):
-        dummy = jnp.zeros((1,) + self.observation_space.shape, jnp.float32)
+        space = self.observation_space
+        if hasattr(space, "spaces"):  # DictSpace
+            dummy = {
+                k: jnp.zeros((1,) + s.shape, jnp.float32)
+                for k, s in space.spaces.items()
+            }
+        else:
+            dummy = jnp.zeros((1,) + space.shape, jnp.float32)
         return self.net.init(key, dummy)
 
     # -- pure applies ------------------------------------------------------
