@@ -299,8 +299,12 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
         )
         return new_state, stats
 
-    def train_disc(self) -> Mapping[str, float]:
-        """One discriminator update using current buffers (reference :317-389)."""
+    def train_disc(self, sync: bool = True) -> Mapping[str, Any]:
+        """One discriminator update using current buffers (reference :317-389).
+
+        ``sync=False`` returns device arrays without blocking, letting callers
+        pipeline many rounds of async dispatches (bench / throughput mode).
+        """
         if self._gen_buffer_state is None:
             raise RuntimeError(
                 "No generator samples for training. Call `train_gen()` first.",
@@ -308,6 +312,8 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
         self.disc_state, stats = self._disc_step_jit(
             self.disc_state, self._gen_buffer_state, self._current_policy_variables()
         )
+        if not sync:
+            return stats
         return {k: float(v) for k, v in jax.device_get(stats).items()}
 
     def _current_policy_variables(self):
@@ -316,7 +322,9 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
         return self.gen_state.variables
 
     # -- generator step ----------------------------------------------------
-    def train_gen(self, total_timesteps: Optional[int] = None) -> Mapping[str, float]:
+    def train_gen(
+        self, total_timesteps: Optional[int] = None, sync: bool = True
+    ) -> Mapping[str, Any]:
         """Train the generator on relabeled rewards; refill the gen buffer
         (reference train_gen, common.py:391-425)."""
         if total_timesteps is None:
@@ -336,8 +344,10 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
             self._gen_buffer_state = jax.jit(self._gen_replay_buffer.store)(
                 self._gen_buffer_state, transitions
             )
-            metrics = {k: float(v) for k, v in jax.device_get(metrics_dev).items()}
-        return metrics
+            metrics = metrics_dev
+        if not sync:
+            return metrics
+        return {k: float(v) for k, v in jax.device_get(metrics).items()}
 
     # -- fused multi-round program -----------------------------------------
     def _example_transitions(self) -> types.TransitionBatch:

@@ -120,5 +120,10 @@ def airl_cmd(config, run_dir, logger):
     return _train(AIRL, config, run_dir, logger)
 
 
+from imitation_tpu.scripts.tuned_hps import register_tuned_configs
+
+register_tuned_configs(ex)
+
+
 if __name__ == "__main__":
     ex.run_cli()

@@ -153,5 +153,10 @@ def sqil_cmd(config: Dict[str, Any], run_dir: str, logger) -> Dict[str, Any]:
     )
 
 
+from imitation_tpu.scripts.tuned_hps import register_tuned_configs
+
+register_tuned_configs(ex)
+
+
 if __name__ == "__main__":
     ex.run_cli()
