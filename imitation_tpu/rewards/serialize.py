@@ -40,6 +40,7 @@ _NET_CLASSES: Dict[str, Callable] = {
     "BasicRewardNet": reward_nets.BasicRewardNet,
     "BasicShapedRewardNet": reward_nets.BasicShapedRewardNet,
     "CnnRewardNet": reward_nets.CnnRewardNet,
+    "RewardEnsemble": reward_nets.RewardEnsemble,
 }
 
 
@@ -60,13 +61,18 @@ def save_reward_net(
     to_json, _ = _space_io()
     os.makedirs(path, exist_ok=True)
     cls_name = type(net).__name__
+    net_kwargs = dict(net_kwargs or {})
     if isinstance(net, reward_nets.ShapedRewardNet):
         cls_name = "BasicShapedRewardNet"
+    elif isinstance(net, reward_nets.RewardEnsemble):
+        cls_name = "RewardEnsemble"
+        net_kwargs.setdefault("num_members", net.num_members)
+        net_kwargs.setdefault("member_cls", net.member_cls.__name__)
     config = {
         "net_class": cls_name,
         "observation_space": to_json(net.observation_space),
         "action_space": to_json(net.action_space),
-        "net_kwargs": net_kwargs or {},
+        "net_kwargs": net_kwargs,
     }
     with open(os.path.join(path, REWARD_CONFIG), "w") as f:
         json.dump(config, f, indent=2)
@@ -86,6 +92,14 @@ def load_reward_net(path: str) -> Tuple[reward_nets.RewardNet, Any]:
         net = reward_nets.BasicShapedRewardNet(
             from_json(config["observation_space"]),
             from_json(config["action_space"]),
+            **kwargs,
+        )
+    elif config["net_class"] == "RewardEnsemble":
+        member_cls = _NET_CLASSES[kwargs.pop("member_cls", "BasicRewardNet")]
+        net = reward_nets.RewardEnsemble(
+            observation_space=from_json(config["observation_space"]),
+            action_space=from_json(config["action_space"]),
+            member_cls=member_cls,
             **kwargs,
         )
     else:
@@ -170,6 +184,21 @@ def _load_zero(path: str = "", venv=None, **kwargs) -> RewardFn:
     return fn
 
 
+def _load_std_added(path: str, venv=None, alpha: float = 0.0, **kwargs) -> RewardFn:
+    """Ensemble mean + alpha*std (reference serialize.py:244-259)."""
+    net, variables = load_reward_net(path)
+    _validate_wrapper_structure(net, reward_nets.RewardEnsemble, "RewardNet_std_added")
+
+    def apply(s, a, ns, d):
+        mean, var = net.apply(
+            variables, s, a, ns, d, method="predict_reward_moments"
+        )
+        return mean + alpha * jnp.sqrt(var)
+
+    return _make_fn(apply)
+
+
+reward_registry.register("RewardNet_std_added", value=_load_std_added)
 reward_registry.register("RewardNet_shaped", value=_load_shaped)
 reward_registry.register("RewardNet_unshaped", value=_load_unshaped)
 reward_registry.register("RewardNet_normalized", value=_load_normalized)

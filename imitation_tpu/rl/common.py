@@ -34,6 +34,18 @@ RelabelRewardFn = Callable[[Any, Any, jnp.ndarray, Any, jnp.ndarray], jnp.ndarra
 
 
 @struct.dataclass
+class RewNormState:
+    """Running statistics for reward normalization (SB3 VecNormalize
+    equivalent, used by reference train_rl's normalize_reward option,
+    scripts/train_rl.py:117-127)."""
+
+    ret: jnp.ndarray  # [B] discounted return accumulator
+    var: jnp.ndarray  # scalar running variance of returns
+    mean: jnp.ndarray  # scalar running mean of returns
+    count: jnp.ndarray  # scalar sample count
+
+
+@struct.dataclass
 class RLState:
     """Common carried state for on-policy learners."""
 
@@ -43,6 +55,7 @@ class RLState:
     key: jax.Array
     timesteps: jnp.ndarray  # int32 total env steps taken (host loop tracks long runs)
     n_updates: jnp.ndarray  # int32
+    reward_norm: Any = None  # Optional[RewNormState]
 
 
 def global_norm(tree) -> jnp.ndarray:

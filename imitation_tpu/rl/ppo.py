@@ -47,6 +47,8 @@ class PPOConfig:
     vf_coef: float = 0.5
     max_grad_norm: float = 0.5
     normalize_advantage: bool = True
+    normalize_rewards: bool = False  # VecNormalize(norm_reward) equivalent
+    reward_clip: float = 10.0
     target_kl: Optional[float] = None  # recorded, not used for early stop (static loop)
 
 
@@ -108,6 +110,14 @@ class PPO:
             )
         else:
             env_state = self.venv.reset(k_env)
+        reward_norm = None
+        if self.config.normalize_rewards:
+            reward_norm = common.RewNormState(
+                ret=jnp.zeros((self.venv.num_envs,)),
+                var=jnp.ones(()),
+                mean=jnp.zeros(()),
+                count=jnp.zeros(()),
+            )
         return common.RLState(
             variables=variables,
             opt_state=opt_state,
@@ -115,6 +125,7 @@ class PPO:
             key=key,
             timesteps=jnp.zeros((), jnp.int32),
             n_updates=jnp.zeros((), jnp.int32),
+            reward_norm=reward_norm,
         )
 
     # -- pure train step ---------------------------------------------------
@@ -167,6 +178,40 @@ class PPO:
             ).reshape(T, B)
         else:
             rews = true_rews
+
+        # 2b. Optional reward normalization by running std of discounted
+        # returns (SB3 VecNormalize semantics: update stats, then scale+clip).
+        reward_norm = state.reward_norm
+        if cfg.normalize_rewards:
+            assert reward_norm is not None
+
+            def rn_step(rn, inputs):
+                r_t, done_t = inputs
+                ret = rn.ret * cfg.gamma + r_t  # [B]
+                b_count = ret.shape[0]
+                b_mean = ret.mean()
+                b_var = ret.var()
+                total = rn.count + b_count
+                delta = b_mean - rn.mean
+                new_mean = rn.mean + delta * b_count / total
+                m2 = rn.var * rn.count + b_var * b_count + delta**2 * rn.count * b_count / total
+                new_var = m2 / total
+                r_out = jnp.clip(
+                    r_t * jax.lax.rsqrt(new_var + 1e-8),
+                    -cfg.reward_clip,
+                    cfg.reward_clip,
+                )
+                new_rn = common.RewNormState(
+                    ret=ret * (1.0 - done_t.astype(ret.dtype)),
+                    var=new_var,
+                    mean=new_mean,
+                    count=total,
+                )
+                return new_rn, r_out
+
+            reward_norm, rews = jax.lax.scan(
+                rn_step, reward_norm, (rews, chunk.dones)
+            )
 
         # 3. GAE. values for obs come from rollout aux (recomputed in one
         # batched forward for host chunks, which carry no aux); next-values
@@ -300,6 +345,7 @@ class PPO:
             key=key,
             timesteps=state.timesteps + T * B,
             n_updates=state.n_updates + 1,
+            reward_norm=reward_norm,
         )
         if self.return_transitions:
             # Return the raw [T, B] rollout chunk (true env rewards, with

@@ -1,6 +1,7 @@
 """Reward serialization tests (reference tests/rewards/test_serialize.py)."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -70,3 +71,39 @@ def test_zero_reward(spaces):
 def test_unknown_type_raises():
     with pytest.raises(KeyError):
         serialize.load_reward("nope", "")
+
+
+def test_ensemble_roundtrip_and_std_added(tmp_path, spaces):
+    obs_space, act_space = spaces
+    ens = reward_nets.RewardEnsemble(
+        observation_space=obs_space, action_space=act_space,
+        member_cls=reward_nets.BasicRewardNet, num_members=3,
+    )
+    variables = ens.init_variables(jax.random.key(5))
+    path = str(tmp_path / "ens")
+    serialize.save_reward_net(path, ens, variables)
+    fn0 = serialize.load_reward("RewardNet_std_added", path, alpha=0.0)
+    fn1 = serialize.load_reward("RewardNet_std_added", path, alpha=1.0)
+    obs = np.random.default_rng(0).normal(size=(4, 4)).astype(np.float32)
+    acts = np.zeros(4, np.int64)
+    dones = np.zeros(4)
+    r0 = fn0(obs, acts, obs, dones)
+    r1 = fn1(obs, acts, obs, dones)
+    assert (r1 >= r0).all()
+    # mean matches direct ensemble prediction
+    mean, _ = ens.apply(
+        variables, jnp.asarray(obs), jnp.asarray(acts), jnp.asarray(obs),
+        jnp.asarray(dones), method="predict_reward_moments",
+    )
+    np.testing.assert_allclose(r0, np.asarray(mean), rtol=1e-5)
+
+
+def test_std_added_rejects_non_ensemble(tmp_path, spaces):
+    obs_space, act_space = spaces
+    net = reward_nets.BasicRewardNet(
+        observation_space=obs_space, action_space=act_space
+    )
+    path = str(tmp_path / "plain2")
+    serialize.save_reward_net(path, net, net.init_variables(jax.random.key(0)))
+    with pytest.raises(TypeError, match="RewardEnsemble"):
+        serialize.load_reward("RewardNet_std_added", path)

@@ -92,3 +92,21 @@ def test_reward_relabeling_path():
     # Monitor return uses true rewards: mean ep return == ep length for CartPole.
     if np.isfinite(float(metrics["ep_return_mean"])):
         assert abs(float(metrics["ep_return_mean"]) - float(metrics["ep_len_mean"])) < 1e-4
+
+
+def test_reward_normalization():
+    """normalize_rewards scales training rewards to ~unit variance without
+    touching monitor stats (SB3 VecNormalize semantics)."""
+    ppo = make_ppo(n_steps=64, n_minibatches=4, n_epochs=1, normalize_rewards=True)
+    state = ppo.init_state()
+    assert state.reward_norm is not None
+    for _ in range(5):
+        state, metrics = ppo._train_step_jit(state)
+    # running stats accumulated
+    assert float(state.reward_norm.count) == 5 * 64 * 8  # iters * T * B samples
+    assert float(state.reward_norm.var) > 0
+    # monitor returns still report true reward (CartPole: return == length)
+    if np.isfinite(float(metrics["ep_return_mean"])):
+        assert abs(
+            float(metrics["ep_return_mean"]) - float(metrics["ep_len_mean"])
+        ) < 1e-4
