@@ -1,0 +1,7 @@
+"""The eight algorithm families (reference algorithms/ package)."""
+
+from imitation_tpu.algorithms.base import (  # noqa: F401
+    BaseImitationAlgorithm,
+    DemonstrationAlgorithm,
+    DemonstrationStore,
+)

@@ -1,0 +1,3 @@
+"""Reward networks, wrappers and serialization."""
+
+from imitation_tpu.rewards.reward_function import RewardFn  # noqa: F401
