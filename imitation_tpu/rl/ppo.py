@@ -37,6 +37,8 @@ from imitation_tpu.rl import common
 class PPOConfig:
     n_steps: int = 2048  # rollout length per env per iteration
     learning_rate: float = 3e-4
+    lr_schedule: str = "constant"  # "constant" | "linear" (decay to 0)
+    total_updates_hint: int = 1000  # schedule horizon in train_step calls
     n_epochs: int = 10
     n_minibatches: int = 32  # SB3 batch_size=64 at n_steps*n_envs=2048
     gamma: float = 0.99
@@ -75,9 +77,20 @@ class PPO:
         self.config = config
         self.reward_fn = reward_fn
         self.return_transitions = return_transitions
-        self.optimizer = common.make_optimizer(
-            config.learning_rate, config.max_grad_norm
-        )
+        if config.lr_schedule == "linear":
+            import optax as _optax
+
+            updates_per_call = config.n_epochs * config.n_minibatches
+            lr = _optax.linear_schedule(
+                config.learning_rate,
+                0.0,
+                config.total_updates_hint * updates_per_call,
+            )
+        elif config.lr_schedule == "constant":
+            lr = config.learning_rate
+        else:
+            raise ValueError(f"unknown lr_schedule {config.lr_schedule!r}")
+        self.optimizer = common.make_optimizer(lr, config.max_grad_norm)
         self._seed = seed
         batch = config.n_steps * venv.num_envs
         if batch % config.n_minibatches != 0:

@@ -110,3 +110,13 @@ def test_reward_normalization():
         assert abs(
             float(metrics["ep_return_mean"]) - float(metrics["ep_len_mean"])
         ) < 1e-4
+
+
+def test_linear_lr_schedule():
+    ppo = make_ppo(lr_schedule="linear", total_updates_hint=10)
+    state = ppo.init_state()
+    state, m1 = ppo._train_step_jit(state)
+    assert np.isfinite(float(m1["loss"]))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="lr_schedule"):
+        make_ppo(lr_schedule="nope")
