@@ -178,6 +178,23 @@ class PPO:
         key, k_perm = jax.random.split(key)
         T, B = chunk.acts.shape[0], chunk.acts.shape[1]
 
+        # 1b. Observation-normalizer update: fold this chunk's observations
+        # into the policy's RunningNorm stats once per iteration (the
+        # VecNormalize(norm_obs)/NormalizeFeaturesExtractor training-time
+        # behavior; rollout used the previous stats, like SB3).
+        state_variables = state.variables
+        if getattr(self.policy, "normalize_features", False):
+            flat_obs0 = jax.tree.map(
+                lambda x: x.reshape((T * B,) + x.shape[2:]), chunk.obs
+            )
+            acts0 = chunk.acts.reshape((T * B,) + chunk.acts.shape[2:])
+            out = self.policy.evaluate_actions(
+                state_variables, flat_obs0, acts0, update_stats=True
+            )
+            mutated = out[-1]
+            state_variables = {**state_variables, **mutated}
+        state = state.replace(variables=state_variables)
+
         # 2. Optional reward relabeling (fused batched reward-net forward).
         true_rews = chunk.rews
         if self.reward_fn is not None:

@@ -120,3 +120,20 @@ def test_linear_lr_schedule():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="lr_schedule"):
         make_ppo(lr_schedule="nope")
+
+
+def test_obs_normalization_stats_update():
+    venv = make_vec_env("Pendulum-v1", num_envs=4)
+    policy = ActorCriticPolicy(
+        observation_space=venv.observation_space,
+        action_space=venv.action_space,
+        normalize_features=True,
+    )
+    ppo = PPO(venv, policy, PPOConfig(n_steps=32, n_minibatches=4, n_epochs=1))
+    state = ppo.init_state()
+    count0 = int(state.variables["stats"]["feat_norm"]["count"])
+    for _ in range(3):
+        state, metrics = ppo._train_step_jit(state)
+    count = int(state.variables["stats"]["feat_norm"]["count"])
+    assert count == count0 + 3 * 32 * 4
+    assert np.isfinite(float(metrics["loss"]))
