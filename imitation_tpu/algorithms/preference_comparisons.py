@@ -258,6 +258,100 @@ class AgentTrainer(TrajectoryGenerator):
         return self.state.variables
 
 
+class SACAgentTrainer(TrajectoryGenerator):
+    """Off-policy (SAC) trajectory generator for preference comparisons —
+    the PEBBLE-style configuration (reference supports SAC generators via the
+    rl ingredient + SAC1024Policy, policies/base.py:107-121,
+    ingredients/rl.py:104-120).
+
+    Replay relabeling: every sampled TD batch's rewards are recomputed with
+    the CURRENT reward net (the reference's ReplayBufferRewardWrapper,
+    policies/replay_buffer_wrapper.py:26-103), so stale replay stays
+    consistent as the reward model trains.
+    """
+
+    def __init__(
+        self,
+        algorithm,  # rl.sac.SAC
+        reward_net: RewardNet,
+        venv: VectorEnv,
+        rng: Union[int, np.random.Generator] = 0,
+        exploration_frac: float = 0.0,
+        custom_logger: Optional[HierarchicalLogger] = None,
+    ):
+        super().__init__(custom_logger=custom_logger)
+        self.algorithm = algorithm
+        self.reward_net = reward_net
+        self.venv = venv
+        self.exploration_frac = exploration_frac
+        self.rng = (
+            rng if isinstance(rng, np.random.Generator) else np.random.default_rng(rng)
+        )
+
+        def relabel_fn(reward_params, batch):
+            rews = reward_net.apply(
+                reward_params,
+                batch.obs,
+                batch.acts,
+                batch.next_obs,
+                batch.dones,
+                method="predict_processed",
+            )
+            return batch.replace(rews=rews)
+
+        algorithm.relabel_fn = relabel_fn
+        algorithm._train_step_jit = jax.jit(algorithm.train_step)
+        self.state = algorithm.init_state()
+        self.reward_variables: Any = None
+        self._explorer = ExplorationWrapper(algorithm.sample_fn(), venv)
+
+    def train(self, steps: int, **kwargs: Any) -> None:
+        if self.reward_variables is None:
+            raise RuntimeError("reward_variables not set before train()")
+        self.state = self.algorithm.learn(
+            self.state, steps, reward_params=self.reward_variables
+        )
+
+    def sample(self, steps: int) -> Sequence[types.TrajectoryWithRew]:
+        agent_steps = int(steps * (1 - self.exploration_frac))
+        out: List[types.TrajectoryWithRew] = []
+        if agent_steps > 0:
+            out.extend(
+                rollout_mod.generate_trajectories(
+                    self.algorithm.sample_fn(),
+                    {"params": self.state.actor_params},
+                    self.venv,
+                    rollout_mod.make_min_timesteps(agent_steps),
+                    rng=int(self.rng.integers(0, 2**31 - 1)),
+                )
+            )
+        exploration_steps = steps - agent_steps
+        if exploration_steps > 0:
+            key = jax.random.key(int(self.rng.integers(0, 2**31 - 1)))
+            key, k_reset, k_mode = jax.random.split(key, 3)
+            env_state = self.venv.reset(k_reset)
+            mode = self._explorer.initial_mode(k_mode)
+            accum = rollout_mod.TrajectoryAccumulator(self.venv.num_envs)
+            collect_jit = jax.jit(self._explorer.collect, static_argnums=(3,))
+            collected: List[types.TrajectoryWithRew] = []
+            while sum(len(t) for t in collected) < exploration_steps:
+                key, sub = jax.random.split(key)
+                env_state, mode, chunk = collect_jit(
+                    {"params": self.state.actor_params}, env_state, mode, 128, sub
+                )
+                collected.extend(accum.add_chunk(chunk))
+            out.extend(collected)
+        return out
+
+    @property
+    def policy(self):
+        return self.algorithm.policy
+
+    @property
+    def policy_variables(self):
+        return {"params": self.state.actor_params}
+
+
 # ---------------------------------------------------------------------------
 # Device fragment batches + preference model
 # ---------------------------------------------------------------------------

@@ -211,3 +211,27 @@ def test_full_loop_smoke(pendulum_trajs):
     assert len(main.dataset) > 0
     # reward model learned something about preferences on its own data
     assert result["reward_accuracy"] is None or result["reward_accuracy"] >= 0.4
+
+
+@pytest.mark.slow
+def test_sac_agent_trainer_pebble_loop(pendulum_trajs):
+    """PEBBLE-style: SAC generator + replay relabeling in the RLHF loop."""
+    from imitation_tpu.rl.sac import SAC, SACConfig
+
+    venv = make_vec_env("Pendulum-v1", num_envs=4)
+    reward_net = BasicRewardNet(
+        observation_space=venv.observation_space,
+        action_space=venv.action_space,
+    )
+    sac = SAC(venv, SACConfig(
+        learning_starts=32, batch_size=32, buffer_size=5000,
+        actor_hid_sizes=(32,), critic_hid_sizes=(32,), train_freq=2,
+    ))
+    agent = pc.SACAgentTrainer(sac, reward_net, venv, rng=0, exploration_frac=0.1)
+    main = pc.PreferenceComparisons(
+        agent, reward_net, num_iterations=2, fragment_length=10,
+        initial_epoch_multiplier=1, rng=0,
+    )
+    result = main.train(total_timesteps=256, total_comparisons=20)
+    assert result["reward_loss"] is not None
+    assert np.isfinite(result["reward_loss"])
