@@ -33,21 +33,23 @@ def _gae_kernel(rews_ref, values_ref, next_values_ref, terminated_ref,
     lam = gamma_lam_ref[0, 1]
     T = rews_ref.shape[0]
 
-    deltas = (
-        rews_ref[:]
-        + gamma * next_values_ref[:] * (1.0 - terminated_ref[:])
-        - values_ref[:]
-    )
-    mult = gamma * lam * (1.0 - dones_ref[:])
-
     # Reverse-time sequential recurrence, vectorized over the B lanes.
+    # Rows are read from VMEM refs at the dynamic index (Pallas TPU supports
+    # dynamic ref slicing; dynamic_slice on materialized values does not
+    # lower).
     def body(i, carry):
         t = T - 1 - i
-        a = deltas[t] + mult[t] * carry
+        delta = (
+            rews_ref[t, :]
+            + gamma * next_values_ref[t, :] * (1.0 - terminated_ref[t, :])
+            - values_ref[t, :]
+        )
+        m = gamma * lam * (1.0 - dones_ref[t, :])
+        a = delta + m * carry
         adv_ref[t, :] = a
         return a
 
-    jax.lax.fori_loop(0, T, body, jnp.zeros_like(deltas[0]))
+    jax.lax.fori_loop(0, T, body, jnp.zeros_like(rews_ref[0, :]))
 
 
 @functools.partial(jax.jit, static_argnames=("gamma", "lam", "interpret"))

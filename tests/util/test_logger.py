@@ -110,3 +110,14 @@ def test_record_mean_outside_context(tmp_path):
     logger.dump(0)
     rows = read_csv(tmp_path / "progress.csv")
     assert float(rows[0]["m"]) == 2.0
+
+
+def test_tensorboard_output(tmp_path):
+    import glob
+
+    logger = configure(str(tmp_path), ["tensorboard"])
+    logger.record("metric", 1.0)
+    logger.dump(step=3)
+    logger.close()
+    events = glob.glob(str(tmp_path / "events.out.tfevents*"))
+    assert events, "no tensorboard event files written"
