@@ -155,7 +155,7 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
         else:
             gen_algo.reward_fn = self._reward_train_relabel_fn
             gen_algo.return_transitions = True
-            gen_algo._train_step_jit = jax.jit(gen_algo.train_step)
+            gen_algo.rebind()
         self.gen_algo = gen_algo
 
         # One generator round produces n_steps * num_envs transitions

@@ -131,7 +131,7 @@ class DensityAlgorithm(base.DemonstrationAlgorithm):
             )
         else:
             rl_algo.reward_fn = self._reward_relabel_fn
-            rl_algo._train_step_jit = jax.jit(rl_algo.train_step)
+            rl_algo.rebind()
         self.rl_algo = rl_algo
         self.rl_state = None
 

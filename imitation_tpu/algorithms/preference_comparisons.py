@@ -182,7 +182,7 @@ class AgentTrainer(TrajectoryGenerator):
 
         algorithm.reward_fn = relabel_fn
         algorithm.return_transitions = True
-        algorithm._train_step_jit = jax.jit(algorithm.train_step)
+        algorithm.rebind()
         self.state = algorithm.init_state()
         self.reward_variables: Any = None  # set by orchestrator before train()
         self._accum = rollout_mod.TrajectoryAccumulator(venv.num_envs)

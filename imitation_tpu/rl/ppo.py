@@ -100,6 +100,12 @@ class PPO:
             )
         self.is_host_env = bool(getattr(venv, "is_host", False))
         self._host_collector = None
+        self.rebind()
+
+    def rebind(self) -> None:
+        """(Re)builds the jitted entry points. Call after mutating
+        ``reward_fn`` / ``return_transitions`` (the adversarial and RLHF
+        trainers inject these post-construction)."""
         if self.is_host_env:
             # Host (gym-bridge) envs: env stepping on host, everything after
             # the collect — relabel, GAE, all PPO updates — in one jitted
