@@ -297,3 +297,12 @@ class BC(base.DemonstrationAlgorithm):
         from imitation_tpu.policies import serialize as policy_serialize
 
         policy_serialize.save_policy(path, self._policy, self.state.variables)
+
+
+def reconstruct_policy(policy_path: str):
+    """Reconstruct a saved BC policy (reference bc.py:250-266).
+
+    Returns (policy, variables)."""
+    from imitation_tpu.policies.serialize import load_policy_from_path
+
+    return load_policy_from_path(policy_path)
