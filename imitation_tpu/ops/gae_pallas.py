@@ -89,9 +89,17 @@ def gae_pallas(
 
 
 def gae_auto(
-    rews, values, next_values, terminated, dones, gamma: float, lam: float
+    rews, values, next_values, terminated, dones, gamma: float, lam: float,
+    prefer_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Pallas kernel on TPU, associative scan elsewhere."""
-    if jax.default_backend() == "tpu":
+    """Dispatch between the Pallas kernel and the associative scan.
+
+    The scan is the default everywhere: it is already fast (O(log T) depth)
+    and compiles quickly. Pass ``prefer_pallas=True`` on TPU backends to use
+    the VMEM kernel (note: on remote-compile runtimes the Mosaic compile of
+    this kernel has been observed to be very slow — verify on your stack
+    before enabling in a hot path).
+    """
+    if prefer_pallas and jax.default_backend() == "tpu":
         return gae_pallas(rews, values, next_values, terminated, dones, gamma, lam)
     return gae_ref.gae(rews, values, next_values, terminated, dones, gamma, lam)
