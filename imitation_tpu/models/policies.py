@@ -162,6 +162,28 @@ class ActorCriticPolicy:
 
         return f
 
+    def predict(
+        self,
+        variables,
+        obs,
+        deterministic: bool = False,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """SB3-style host prediction: numpy obs in, numpy actions out."""
+        import numpy as _np
+
+        obs_j = jax.tree.map(jnp.asarray, obs)
+        single = (
+            not isinstance(obs_j, dict)
+            and obs_j.ndim == len(self.observation_space.shape)
+        )
+        if single:
+            obs_j = jax.tree.map(lambda x: x[None], obs_j)
+        fn = self.deterministic_fn() if deterministic else self.sample_fn()
+        acts, _ = fn(variables, obs_j, jax.random.key(seed))
+        acts = _np.asarray(acts)
+        return acts[0] if single else acts
+
     def evaluate_actions(self, variables, obs, acts, *, update_stats: bool = False):
         """Returns (log_prob, entropy, value) — SB3 ``evaluate_actions``."""
         if update_stats:
