@@ -13,9 +13,8 @@ Counterpart of reference ``algorithms/adversarial/airl.py``:
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
-import jax
 import jax.numpy as jnp
 
 from imitation_tpu.algorithms.adversarial import common

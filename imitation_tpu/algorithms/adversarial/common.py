@@ -30,9 +30,8 @@ used for generator training / for transfer evaluation
 from __future__ import annotations
 
 import abc
-import dataclasses
 import functools
-from typing import Any, Callable, Dict, Mapping, Optional, Tuple, Union
+from typing import Any, Callable, Dict, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

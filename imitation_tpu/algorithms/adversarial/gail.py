@@ -10,7 +10,7 @@ Counterpart of reference ``algorithms/adversarial/gail.py``:
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,8 +19,7 @@ classic gridworlds, MXU-tiled when S is large.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Dict, Iterable, List, Optional, Tuple, Union
+from typing import Iterable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

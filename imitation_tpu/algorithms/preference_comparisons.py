@@ -41,7 +41,6 @@ import abc
 import dataclasses
 import math
 import pickle
-import re
 from collections import deque
 from typing import (
     Any,

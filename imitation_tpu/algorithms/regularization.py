@@ -20,7 +20,6 @@ adjusts ``lambda_`` on host between epochs.
 from __future__ import annotations
 
 import abc
-import dataclasses
 from typing import Any, Callable, Optional, Protocol
 
 import jax

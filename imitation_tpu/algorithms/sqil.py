@@ -14,11 +14,10 @@ remains one XLA program.
 
 from __future__ import annotations
 
-from typing import Any, Mapping, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from imitation_tpu.algorithms import base
 from imitation_tpu.data.buffer import BufferState, ReplayBuffer

@@ -13,7 +13,6 @@ state is itself a pytree, so it shards over a mesh like any other state
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ Two layers:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, Mapping, Optional, Sequence, Tuple, Union
 
 import jax

@@ -15,7 +15,7 @@ from __future__ import annotations
 import json
 import os
 import warnings
-from typing import Sequence, cast
+from typing import Sequence
 
 import numpy as np
 

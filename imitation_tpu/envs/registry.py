@@ -11,8 +11,6 @@ from __future__ import annotations
 
 from typing import Callable, Dict, Optional
 
-import jax
-
 from imitation_tpu.envs import classic
 from imitation_tpu.envs.base import Env
 from imitation_tpu.envs.vector import VectorEnv

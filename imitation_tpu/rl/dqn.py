@@ -27,7 +27,6 @@ from flax import struct
 from imitation_tpu.data.buffer import BufferState, ReplayBuffer
 from imitation_tpu.data.types import TransitionBatch
 from imitation_tpu.envs.vector import VecEnvState, VectorEnv
-from imitation_tpu.models import networks
 from imitation_tpu.rl import common
 
 

@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from flax import struct
 
 from imitation_tpu.data import rollout as rollout_mod
 from imitation_tpu.envs.vector import VectorEnv

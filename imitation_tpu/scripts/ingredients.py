@@ -7,10 +7,7 @@ sourcing (demonstrations.py), policy evaluation (policy_evaluation.py).
 
 from __future__ import annotations
 
-import os
-from typing import Any, Dict, Optional, Sequence, Tuple
-
-import numpy as np
+from typing import Any, Dict, Sequence
 
 from imitation_tpu.data import rollout as rollout_mod
 from imitation_tpu.data import serialize, types

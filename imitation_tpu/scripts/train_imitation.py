@@ -11,8 +11,6 @@ from __future__ import annotations
 import os
 from typing import Any, Dict
 
-import numpy as np
-
 from imitation_tpu.algorithms.bc import BC
 from imitation_tpu.algorithms.dagger import SimpleDAggerTrainer
 from imitation_tpu.algorithms.sqil import SQIL

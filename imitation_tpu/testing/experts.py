@@ -11,11 +11,9 @@ exposes the standard rollout policy interface ``(params, obs, key) ->
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 from imitation_tpu.data import rollout as rollout_mod
 from imitation_tpu.data import types

@@ -15,7 +15,6 @@ import os
 from typing import Any, Optional
 
 import jax
-import numpy as np
 
 
 def _to_savable(tree: Any) -> Any:
