@@ -34,8 +34,8 @@ def main():
     from imitation_tpu.rl.ppo import PPOConfig
     from imitation_tpu.testing import experts
 
-    num_envs = 4096
-    n_steps = 128  # 524k env-steps per round
+    num_envs = 1024
+    n_steps = 128  # 131k env-steps per round
     venv = make_vec_env("CartPole-v1", num_envs=num_envs, max_episode_steps=500)
 
     # Demo generation is data prep, not the benchmarked path — run it on the
@@ -80,7 +80,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "GAIL env-steps/s/chip (rollout+relabel+PPO+disc, CartPole, 4096 envs)",
+                "metric": "GAIL env-steps/s/chip (rollout+relabel+PPO+disc, CartPole, 1024 envs)",
                 "value": round(steps_per_s, 1),
                 "unit": "env-steps/s",
                 "vs_baseline": round(steps_per_s / SB3_REFERENCE_STEPS_PER_S, 2),

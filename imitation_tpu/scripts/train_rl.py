@@ -77,15 +77,10 @@ def train_rl(config: Dict[str, Any], run_dir: str, logger) -> Dict[str, Any]:
     reward_fn = None
     reward_params = None
     if config["reward_type"] is not None:
-        # Transfer evaluation of a learned reward (reference train_rl.py:106-115).
+        # Transfer evaluation of a learned reward (reference train_rl.py:106-115):
+        # load the net directly so relabeling jits with the rollout.
         from imitation_tpu.rewards import serialize as reward_serialize
 
-        host_fn = reward_serialize.load_reward(
-            config["reward_type"], config["reward_path"], venv
-        )
-        import jax.numpy as jnp
-
-        # wrap host fn device-side via loaded net apply: reload for jit use
         net, variables = reward_serialize.load_reward_net(config["reward_path"])
         method = (
             "base_forward"
