@@ -225,32 +225,53 @@ class DensityAlgorithm(base.DemonstrationAlgorithm):
         return np.asarray(out)
 
     def _reward_relabel_fn(self, params, obs, acts, next_obs, dones) -> jnp.ndarray:
+        # ``params`` carries the fitted density data + scaler stats as a
+        # pytree (passed per train_step call), so refitting the KDE takes
+        # effect without re-tracing the PPO program.
+        if params is None:
+            params = self._reward_params()
+        x = self._flatten_jax(obs, acts, next_obs)
+        x = (x - params["scale_mean"]) / params["scale_std"]
+        data = params["data"]  # [M, N, d] stacked per-timestep (M=1 stationary)
+        logs = jax.vmap(
+            lambda d: gaussian_kde_logpdf(x, d, self.kernel_bandwidth)
+        )(data)
+        if data.shape[0] == 1:
+            return logs[0]
+        return jax.scipy.special.logsumexp(logs, axis=0) - jnp.log(
+            jnp.asarray(float(data.shape[0]))
+        )
+
+    def _reward_params(self):
+        """The fitted density model as a pytree for jit arguments."""
         if self._density_data is None:
             raise RuntimeError("Call .train() before computing rewards.")
-        x = self._flatten_jax(obs, acts, next_obs)
+        vals = list(self._density_data.values())
+        max_n = max(v.shape[0] for v in vals)
+        # pad per-timestep datasets to a common size by repeating rows
+        padded = []
+        for v in vals:
+            if v.shape[0] < max_n:
+                reps = -(-max_n // v.shape[0])
+                v = jnp.tile(v, (reps, 1))[:max_n]
+            padded.append(v)
+        data = jnp.stack(padded)
         if self._scaler is not None:
-            x = self._scaler.transform(x)
-        if self.is_stationary:
-            return gaussian_kde_logpdf(
-                x, self._density_data[None], self.kernel_bandwidth
-            )
-        # Non-stationary: without per-step timestep info in the relabel path,
-        # score against the union of per-timestep models (mean log-density).
-        logs = jnp.stack(
-            [
-                gaussian_kde_logpdf(x, d, self.kernel_bandwidth)
-                for d in self._density_data.values()
-            ]
-        )
-        return jax.scipy.special.logsumexp(logs, axis=0) - jnp.log(
-            jnp.asarray(float(len(self._density_data)))
-        )
+            mean = jnp.asarray(self._scaler.mean)
+            std = jnp.asarray(self._scaler.std)
+        else:
+            d = data.shape[-1]
+            mean, std = jnp.zeros((d,)), jnp.ones((d,))
+        # data is stored unscaled-after-transform already; scaling handled on x
+        return {"data": data, "scale_mean": mean, "scale_std": std}
 
     # -- RL on the learned reward (reference density.py:362-422) -----------
     def train_policy(self, n_timesteps: int = 1_000_000) -> None:
         if self.rl_state is None:
             self.rl_state = self.rl_algo.init_state()
-        self.rl_state = self.rl_algo.learn(self.rl_state, n_timesteps)
+        self.rl_state = self.rl_algo.learn(
+            self.rl_state, n_timesteps, reward_params=self._reward_params()
+        )
 
     def test_policy(self, *, n_trajectories: int = 10, true_reward: bool = True):
         """Rollout stats for the trained policy (reference density.py:384-422)."""

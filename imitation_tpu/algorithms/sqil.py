@@ -72,6 +72,11 @@ class SQIL(base.DemonstrationAlgorithm):
     def set_demonstrations(self, demonstrations: base.AnyDemonstrations) -> None:
         store = base.DemonstrationStore.from_demonstrations(demonstrations)
         self._expert_batch = store.batch
+        # The sample hook closes over the expert batch, which gets baked into
+        # the traced TD-update program as a constant — re-jit so replacing
+        # demonstrations after construction actually takes effect.
+        if getattr(self, "dqn", None) is not None:
+            self.dqn._train_step_jit = jax.jit(self.dqn.train_step)
 
     @property
     def policy(self):

@@ -92,3 +92,27 @@ def test_nonstationary_requires_trajectories(pendulum_demos):
             demonstrations=flat, venv=venv, is_stationary=False,
             rl_config=PPOConfig(n_steps=16, n_minibatches=2, n_epochs=1),
         )
+
+
+def test_density_refit_takes_effect(pendulum_demos):
+    """Refitting the KDE changes rewards without re-jitting (staleness fix)."""
+    venv = make_vec_env("Pendulum-v1", num_envs=4)
+    algo = DensityAlgorithm(
+        demonstrations=pendulum_demos, venv=venv,
+        rl_config=PPOConfig(n_steps=16, n_minibatches=2, n_epochs=1),
+        standardise_inputs=False,
+    )
+    algo.train()
+    obs = np.zeros((3, 3), np.float32)
+    acts = np.zeros((3, 1), np.float32)
+    r1 = algo(obs, acts, obs, np.zeros(3))
+    # refit on shifted demos: rewards at the same point must change
+    shifted = [
+        type(t)(obs=np.asarray(t.obs) + 5.0, acts=t.acts, rews=t.rews,
+                infos=t.infos, terminal=t.terminal)
+        for t in pendulum_demos
+    ]
+    algo.set_demonstrations(shifted)
+    algo.train()
+    r2 = algo(obs, acts, obs, np.zeros(3))
+    assert not np.allclose(r1, r2)
