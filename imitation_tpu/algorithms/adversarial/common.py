@@ -197,6 +197,10 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
                 f"demo_batch_size={self.demo_batch_size} exceeds demonstration "
                 f"size {self._demo_store.num_samples}"
             )
+        # The disc step closes over the demo store (baked in as trace-time
+        # constants) — re-jit when demonstrations are replaced post-hoc.
+        if getattr(self, "_disc_step_jit", None) is not None:
+            self._disc_step_jit = jax.jit(self._disc_step)
 
     @property
     def policy(self) -> ActorCriticPolicy:

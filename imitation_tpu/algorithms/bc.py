@@ -153,6 +153,11 @@ class BC(base.DemonstrationAlgorithm):
     # -- demonstrations ----------------------------------------------------
     def set_demonstrations(self, demonstrations: base.AnyDemonstrations) -> None:
         self._demo_store = base.DemonstrationStore.from_demonstrations(demonstrations)
+        # Cached epoch programs bake the demo batch in as constants — drop
+        # them so new demonstrations take effect (DAgger replaces demos every
+        # round).
+        if getattr(self, "_epoch_fn_cache", None):
+            self._epoch_fn_cache.clear()
 
     @property
     def policy(self) -> ActorCriticPolicy:

@@ -108,3 +108,26 @@ def test_bc_improves_rewards(cartpole_demos):
     trained_returns = [t.rews.sum() for t in trained]
     assert is_significant_reward_improvement(novice_returns, trained_returns)
     assert np.mean(trained_returns) > 3 * np.mean(novice_returns)
+
+
+def test_set_demonstrations_invalidates_cached_programs(cartpole_demos):
+    """Replacing demos after training must not reuse stale jitted epochs
+    (DAgger replaces demonstrations every round)."""
+    bc = make_bc(cartpole_demos, batch_size=32)
+    bc.train(n_batches=4)
+    loss_key = "loss"
+    # New demos with identical batch count but different content: all-left
+    # actions. Training on them should push the policy toward action 0.
+    flipped = []
+    for t in cartpole_demos:
+        flipped.append(
+            type(t)(obs=t.obs, acts=np.zeros_like(t.acts), rews=t.rews,
+                    infos=t.infos, terminal=t.terminal)
+        )
+    bc.set_demonstrations(flipped)
+    bc.train(n_epochs=3)
+    import jax.numpy as jnp
+
+    dist = bc.policy.distribution(bc.state.variables, jnp.zeros((8, 4)))
+    preds = np.asarray(dist.mode())
+    assert (preds == 0).all(), "policy should imitate the replaced demos"
