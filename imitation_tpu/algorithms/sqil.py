@@ -1,20 +1,21 @@
 """SQIL: Soft Q Imitation Learning (Reddy et al. 2019).
 
 Counterpart of reference ``algorithms/sqil.py`` (251 LoC): off-policy RL
-(default DQN) where every sampled batch is 50% expert transitions labeled
-reward 1 and 50% fresh environment transitions labeled reward 0
-(reference SQILReplayBuffer: expert reward :202, fresh reward :219,
-50/50 sample :224-251).
+(default DQN; any off-policy learner — the reference's SQIL-with-SAC
+tutorial 8a maps to ``rl_algo="sac"``) where every sampled batch is 50%
+expert transitions labeled reward 1 and 50% fresh environment transitions
+labeled reward 0 (reference SQILReplayBuffer: expert reward :202, fresh
+reward :219, 50/50 sample :224-251).
 
 TPU-native: expert demonstrations sit in HBM as a fixed ``TransitionBatch``;
 the 50/50 relabeled sampling is a ``sample_hook`` injected into the jitted
-DQN TD update, so the entire SQIL step (collect + mix-sample + TD update)
-remains one XLA program.
+TD update of the inner learner, so the entire SQIL step (collect +
+mix-sample + update) remains one XLA program.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -24,18 +25,25 @@ from imitation_tpu.data.buffer import BufferState, ReplayBuffer
 from imitation_tpu.data.types import TransitionBatch
 from imitation_tpu.envs.vector import VectorEnv
 from imitation_tpu.rl.dqn import DQN, DQNConfig
+from imitation_tpu.rl.sac import SAC, SACConfig
 from imitation_tpu.util.logger import HierarchicalLogger
 
 
 class SQIL(base.DemonstrationAlgorithm):
-    """SQIL trainer (reference sqil.py:26-102)."""
+    """SQIL trainer (reference sqil.py:26-102).
+
+    ``rl_algo="dqn"`` (discrete, default) or ``"sac"`` (continuous, the
+    reference's SQIL-SAC variant).
+    """
 
     def __init__(
         self,
         *,
         venv: VectorEnv,
         demonstrations: base.AnyDemonstrations,
+        rl_algo: str = "auto",
         dqn_config: DQNConfig = DQNConfig(),
+        sac_config: SACConfig = SACConfig(),
         custom_logger: Optional[HierarchicalLogger] = None,
         allow_variable_horizon: bool = False,
         seed: int = 0,
@@ -47,6 +55,11 @@ class SQIL(base.DemonstrationAlgorithm):
             custom_logger=custom_logger,
             allow_variable_horizon=allow_variable_horizon,
         )
+        if rl_algo == "auto":
+            rl_algo = "dqn" if venv.action_space.is_discrete else "sac"
+        if rl_algo not in ("dqn", "sac"):
+            raise ValueError(f"rl_algo must be 'dqn' or 'sac', got {rl_algo!r}")
+        self.rl_algo_name = rl_algo
 
         def sample_hook(
             replay: ReplayBuffer,
@@ -66,8 +79,13 @@ class SQIL(base.DemonstrationAlgorithm):
             exp = exp.replace(rews=jnp.ones_like(exp.rews))
             return jax.tree.map(lambda a, b: jnp.concatenate([a, b]), new, exp)
 
-        self.dqn = DQN(venv, dqn_config, sample_hook=sample_hook, seed=seed)
-        self.state = self.dqn.init_state()
+        if rl_algo == "dqn":
+            self.rl = DQN(venv, dqn_config, sample_hook=sample_hook, seed=seed)
+        else:
+            self.rl = SAC(venv, sac_config, sample_hook=sample_hook, seed=seed)
+        self.state = self.rl.init_state()
+        # Backwards-compatible alias (DQN was the only learner originally).
+        self.dqn = self.rl if rl_algo == "dqn" else None
 
     def set_demonstrations(self, demonstrations: base.AnyDemonstrations) -> None:
         store = base.DemonstrationStore.from_demonstrations(demonstrations)
@@ -75,21 +93,23 @@ class SQIL(base.DemonstrationAlgorithm):
         # The sample hook closes over the expert batch, which gets baked into
         # the traced TD-update program as a constant — re-jit so replacing
         # demonstrations after construction actually takes effect.
-        if getattr(self, "dqn", None) is not None:
-            self.dqn._train_step_jit = jax.jit(self.dqn.train_step)
+        if getattr(self, "rl", None) is not None:
+            self.rl._train_step_jit = jax.jit(self.rl.train_step)
 
     @property
     def policy(self):
-        """Greedy Q policy interface (sample_fn/deterministic_fn)."""
-        dqn = self.dqn
+        """Greedy/deterministic policy interface (sample_fn/deterministic_fn)."""
+        rl = self.rl
+        if self.rl_algo_name == "dqn":
 
-        class _GreedyPolicy:
-            def sample_fn(self):
-                return dqn.greedy_fn()
+            class _GreedyPolicy:
+                def sample_fn(self):
+                    return rl.greedy_fn()
 
-            deterministic_fn = sample_fn
+                deterministic_fn = sample_fn
 
-        return _GreedyPolicy()
+            return _GreedyPolicy()
+        return rl.policy
 
     @property
     def policy_variables(self):
@@ -98,7 +118,5 @@ class SQIL(base.DemonstrationAlgorithm):
     def train(self, *, total_timesteps: int) -> None:
         """Reference sqil.py train: delegate to the inner off-policy learner."""
         with self.logger.accumulate_means("sqil"):
-            self.state = self.dqn.learn(
-                self.state, total_timesteps, logger=None
-            )
+            self.state = self.rl.learn(self.state, total_timesteps, logger=None)
         self.logger.dump(int(self.state.timesteps))

@@ -113,6 +113,10 @@ class SACState:
 # relabel hook: (reward_params, batch) -> batch with replaced rews
 RelabelBatchFn = Callable[[Any, TransitionBatch], TransitionBatch]
 
+# sample hook: (replay, buffer_state, key, batch_size) -> TransitionBatch
+# (same contract as rl/dqn.py — SQIL's 50/50 expert mixing plugs in here)
+SampleHook = Callable[[Any, Any, jax.Array, int], TransitionBatch]
+
 
 class SAC:
     """Soft Actor-Critic over a VectorEnv (continuous actions).
@@ -127,6 +131,7 @@ class SAC:
         config: SACConfig = SACConfig(),
         *,
         relabel_fn: Optional[RelabelBatchFn] = None,
+        sample_hook: Optional[SampleHook] = None,
         seed: int = 0,
     ):
         if venv.action_space.is_discrete:
@@ -146,6 +151,7 @@ class SAC:
         self.alpha_optimizer = optax.adam(config.learning_rate)
         self.replay = ReplayBuffer(config.buffer_size)
         self.relabel_fn = relabel_fn
+        self.sample_hook = sample_hook
         self._seed = seed
         self.target_entropy = (
             config.target_entropy
@@ -253,7 +259,12 @@ class SAC:
             (actor_params, critic_params, target_params, log_alpha,
              actor_opt, critic_opt, alpha_opt) = carry
             k_sample, k_next, k_pi = jax.random.split(k, 3)
-            batch = self.replay.sample(buffer_state, k_sample, cfg.batch_size)
+            if self.sample_hook is not None:
+                batch = self.sample_hook(
+                    self.replay, buffer_state, k_sample, cfg.batch_size
+                )
+            else:
+                batch = self.replay.sample(buffer_state, k_sample, cfg.batch_size)
             if self.relabel_fn is not None:
                 batch = self.relabel_fn(reward_params, batch)
             alpha = (

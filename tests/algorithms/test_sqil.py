@@ -96,3 +96,37 @@ def test_sqil_improves_cartpole(cartpole_demos):
     )
     trained_rets = [t.rews.sum() for t in trained]
     assert is_significant_reward_improvement(novice_rets, trained_rets)
+
+
+def test_sqil_sac_continuous():
+    """SQIL with a SAC learner on a continuous env (reference tutorial 8a)."""
+    from imitation_tpu.rl.sac import SACConfig
+    from imitation_tpu.testing import experts as _experts
+
+    venv_d = make_vec_env("Pendulum-v1", num_envs=4)
+    demos = _experts.generate_expert_trajectories("Pendulum-v1", venv_d, min_episodes=4)
+    venv = make_vec_env("Pendulum-v1", num_envs=4)
+    sqil = SQIL(
+        venv=venv,
+        demonstrations=demos,
+        sac_config=SACConfig(learning_starts=32, batch_size=32, buffer_size=2000,
+                             actor_hid_sizes=(32,), critic_hid_sizes=(32,)),
+        allow_variable_horizon=True,
+        seed=0,
+    )
+    assert sqil.rl_algo_name == "sac"
+    sqil.train(total_timesteps=300)
+    assert int(sqil.state.timesteps) >= 300
+    # policy interface works for rollouts
+    trajs = rollout.generate_trajectories(
+        sqil.policy.sample_fn(), sqil.policy_variables, venv,
+        rollout.make_min_episodes(2), rng=0,
+    )
+    assert len(trajs) >= 2
+
+
+def test_sqil_invalid_algo_raises(cartpole_demos):
+    venv = make_vec_env("CartPole-v1", num_envs=2)
+    with pytest.raises(ValueError, match="rl_algo"):
+        SQIL(venv=venv, demonstrations=cartpole_demos, rl_algo="ppo",
+             allow_variable_horizon=True)
