@@ -183,6 +183,8 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
         )
         self.gen_state: Optional[rl_common.RLState] = None
         self._disc_step_jit = jax.jit(self._disc_step)
+        self._chunk_to_transitions_jit = jax.jit(rollout_chunk_to_transitions)
+        self._buffer_store_jit = jax.jit(self._gen_replay_buffer.store)
         self._global_step = 0
 
     # -- demonstration handling -------------------------------------------
@@ -341,10 +343,10 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
             self.gen_state, metrics_dev, chunk = self.gen_algo._train_step_jit(
                 self.gen_state, self.disc_state.variables
             )
-            transitions = jax.jit(rollout_chunk_to_transitions)(chunk)
+            transitions = self._chunk_to_transitions_jit(chunk)
             if self._gen_buffer_state is None:
                 self._gen_buffer_state = self._gen_replay_buffer.init_state(transitions)
-            self._gen_buffer_state = jax.jit(self._gen_replay_buffer.store)(
+            self._gen_buffer_state = self._buffer_store_jit(
                 self._gen_buffer_state, transitions
             )
             metrics = metrics_dev
