@@ -164,21 +164,31 @@ class InteractiveTrajectoryCollector:
     ) -> Sequence[types.TrajectoryWithRew]:
         """Rolls out the mixture; returns + saves expert-labeled demos."""
         mixture = self._mixture_policy_apply(expert_apply)
-        key = jax.random.key(seed)
-        key, k_reset = jax.random.split(key)
-        state = self.venv.reset(k_reset)
         accum = rollout_mod.TrajectoryAccumulator(self.venv.num_envs)
         collected: List[types.TrajectoryWithRew] = []
-        collect_jit = jax.jit(rollout_mod.collect, static_argnums=(0, 1, 4))
-        while not sample_until(collected):
-            key, sub = jax.random.split(key)
-            state, chunk = collect_jit(
-                self.venv, mixture, expert_params, state, chunk_size, sub
+        if getattr(self.venv, "is_host", False):
+            # Host (gym-bridge) envs: env steps on host, mixture policy
+            # jitted per step.
+            collector = rollout_mod.HostCollector(
+                self.venv, mixture, expert_params, seed=seed
             )
-            # Demonstrations record the EXPERT action, not the stepped one.
-            demo_chunk = chunk.replace(acts=chunk.aux["expert_acts"])
-            finished = accum.add_chunk(demo_chunk)
-            collected.extend(finished)
+            while not sample_until(collected):
+                chunk = collector.collect(chunk_size)
+                demo_chunk = chunk.replace(acts=chunk.aux["expert_acts"])
+                collected.extend(accum.add_chunk(demo_chunk))
+        else:
+            key = jax.random.key(seed)
+            key, k_reset = jax.random.split(key)
+            state = self.venv.reset(k_reset)
+            collect_jit = jax.jit(rollout_mod.collect, static_argnums=(0, 1, 4))
+            while not sample_until(collected):
+                key, sub = jax.random.split(key)
+                state, chunk = collect_jit(
+                    self.venv, mixture, expert_params, state, chunk_size, sub
+                )
+                # Demonstrations record the EXPERT action, not the stepped one.
+                demo_chunk = chunk.replace(acts=chunk.aux["expert_acts"])
+                collected.extend(accum.add_chunk(demo_chunk))
         for traj in collected:
             _save_dagger_demo(traj, self.traj_index, self.save_dir)
             self.traj_index += 1

@@ -129,9 +129,10 @@ class HostCollector:
             "obs", "acts", "rews", "next_obs", "terminated", "truncated",
             "episode_return", "episode_length",
         )}
+        aux_recs: list = []
         for _ in range(num_steps):
             self.key, k_act = jax.random.split(self.key)
-            acts, _aux = self._apply(self.params, jnp.asarray(self.obs), k_act)
+            acts, aux = self._apply(self.params, jnp.asarray(self.obs), k_act)
             acts = np.asarray(acts)
             out = self.venv.step(acts)
             recs["obs"].append(self.obs)
@@ -142,9 +143,19 @@ class HostCollector:
             recs["truncated"].append(out["truncated"])
             recs["episode_return"].append(out["episode_return"])
             recs["episode_length"].append(out["episode_length"])
+            aux_recs.append(jax.device_get(aux))
             self.obs = out["obs"]
         stacked = {k: np.stack(v) for k, v in recs.items()}
-        return RolloutChunk(aux={}, **{k: jnp.asarray(v) for k, v in stacked.items()})
+        if aux_recs and isinstance(aux_recs[0], dict) and aux_recs[0]:
+            aux_stacked = {
+                k: jnp.asarray(np.stack([a[k] for a in aux_recs]))
+                for k in aux_recs[0]
+            }
+        else:
+            aux_stacked = {}
+        return RolloutChunk(
+            aux=aux_stacked, **{k: jnp.asarray(v) for k, v in stacked.items()}
+        )
 
 
 def generate_trajectories_host(

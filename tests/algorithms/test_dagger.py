@@ -142,3 +142,28 @@ def test_initial_expert_trajs(scratch):
     demo_dir = trainer._demo_dir_path_for_round(0)
     assert demo_dir.is_dir()
     assert len(list(demo_dir.iterdir())) == 2
+
+
+def test_dagger_on_host_env(tmp_path):
+    """DAgger over a gym-bridge (host) env — mixture policy jitted per step."""
+    from imitation_tpu.envs.gym_bridge import GymHostEnv, HostVectorEnv
+    from imitation_tpu.models.policies import ActorCriticPolicy
+    from imitation_tpu.policies import serialize as pol_ser
+
+    env = GymHostEnv("CartPole-v1")
+    venv = HostVectorEnv(env, num_envs=2, max_episode_steps=15, num_threads=1)
+    trainer = dagger.SimpleDAggerTrainer(
+        venv=venv,
+        scratch_dir=str(tmp_path / "d"),
+        expert_policy_apply=experts.cartpole_expert_fn,
+        expert_params={},
+        rng=0,
+    )
+    trainer.train(
+        total_timesteps=80,
+        rollout_round_min_episodes=1,
+        rollout_round_min_timesteps=15,
+        bc_train_kwargs=dict(n_epochs=1),
+    )
+    assert trainer.round_num >= 1
+    venv.close()
