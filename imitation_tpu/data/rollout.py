@@ -121,8 +121,30 @@ class HostCollector:
         self.venv = venv
         self._apply = jax.jit(policy_apply)
         self.params = params
-        self.key = jax.random.key(seed)
+        # Pin the per-step policy forward to the LOCAL CPU: with a remote /
+        # tunneled accelerator, a device call per env step costs a network
+        # round trip each way, which dwarfs the MLP forward. Collection
+        # runs on CPU; the finished chunk moves to the accelerator once.
+        self._cpu = None
+        if jax.default_backend() != "cpu":
+            try:
+                self._cpu = jax.local_devices(backend="cpu")[0]
+            except RuntimeError:
+                self._cpu = None
+        key = jax.random.key(seed)
+        self.key = jax.device_put(key, self._cpu) if self._cpu is not None else key
         self.obs = venv.reset(seed=seed)
+        self._cpu_params = None
+        self._cpu_params_src = None
+
+    def _params_for_apply(self):
+        if self._cpu is None:
+            return self.params
+        # cache the host copy; refresh when the trainer swaps in new params
+        if self._cpu_params_src is not self.params:
+            self._cpu_params = jax.device_put(self.params, self._cpu)
+            self._cpu_params_src = self.params
+        return self._cpu_params
 
     def collect(self, num_steps: int) -> RolloutChunk:
         recs = {k: [] for k in (
@@ -130,9 +152,10 @@ class HostCollector:
             "episode_return", "episode_length",
         )}
         aux_recs: list = []
+        params = self._params_for_apply()
         for _ in range(num_steps):
             self.key, k_act = jax.random.split(self.key)
-            acts, aux = self._apply(self.params, jnp.asarray(self.obs), k_act)
+            acts, aux = self._apply(params, np.asarray(self.obs), k_act)
             acts = np.asarray(acts)
             out = self.venv.step(acts)
             recs["obs"].append(self.obs)
