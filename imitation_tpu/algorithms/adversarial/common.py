@@ -296,8 +296,18 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
         )
         params = optax.apply_updates(disc_state.variables["params"], updates)
         stats = compute_train_stats(logits, labels, loss)
+        variables = {**disc_state.variables, "params": params}
+        if "stats" in variables:
+            # Fold this batch into the reward net's input-normalizer running
+            # stats (reference: RunningNorm input layers update in training
+            # mode during every disc forward, util/networks.py:98-134).
+            _, mutated = self.reward_net.apply(
+                variables, obs, acts, next_obs, dones,
+                update_stats=True, mutable=["stats"],
+            )
+            variables = {**variables, **mutated}
         new_state = DiscState(
-            variables={**disc_state.variables, "params": params},
+            variables=variables,
             opt_state=opt_state,
             key=key,
             step=disc_state.step + 1,

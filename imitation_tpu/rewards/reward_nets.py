@@ -108,6 +108,10 @@ class BasicRewardNet(RewardNet):
     use_done: bool = False
     hid_sizes: Sequence[int] = (32, 32)
     activation: Callable = nn.relu
+    # normalize_input_layer=RunningNorm in the reference's tuned adversarial
+    # configs (reference config/tuned_hps/*gail*/airl*.json net_kwargs);
+    # stats update when the caller passes update_stats=True + mutable.
+    normalize_input: bool = False
 
     @nn.compact
     def __call__(self, obs, acts, next_obs, dones, *, update_stats: bool = False):
@@ -122,6 +126,10 @@ class BasicRewardNet(RewardNet):
         if self.use_done:
             inputs.append(dones_p[:, None])
         x = jnp.concatenate(inputs, axis=-1)
+        if self.normalize_input:
+            x = networks.RunningNorm(num_features=x.shape[-1], name="input_norm")(
+                x, update_stats=update_stats
+            )
         mlp = networks.MLP(
             hid_sizes=tuple(self.hid_sizes),
             out_size=1,
@@ -231,7 +239,7 @@ class ShapedRewardNet(RewardNet):
     discount_factor: float = 0.99
 
     def __call__(self, obs, acts, next_obs, dones, *, update_stats: bool = False):
-        base_out = self.base(obs, acts, next_obs, dones)
+        base_out = self.base(obs, acts, next_obs, dones, update_stats=update_stats)
         new_pot = self.potential(next_obs)
         old_pot = self.potential(obs)
         d = dones.astype(jnp.float32)

@@ -163,3 +163,73 @@ def test_cnn_continuous_action_raises():
     )
     with pytest.raises(ValueError, match="discrete"):
         net.init_variables(jax.random.key(0))
+
+
+def test_basic_reward_net_input_norm():
+    """normalize_input=RunningNorm equivalent (reference tuned adversarial
+    configs set net_kwargs.normalize_input_layer=RunningNorm)."""
+    import jax
+    import jax.numpy as jnp
+
+    from imitation_tpu.envs import make_vec_env
+    from imitation_tpu.rewards.reward_nets import BasicRewardNet
+
+    venv = make_vec_env("Pendulum-v1", num_envs=2)
+    net = BasicRewardNet(
+        observation_space=venv.observation_space,
+        action_space=venv.action_space,
+        normalize_input=True,
+    )
+    variables = net.init_variables(jax.random.key(0))
+    assert "stats" in variables
+
+    obs = jnp.ones((4, 3)) * 5.0
+    acts = jnp.ones((4, 1))
+    dones = jnp.zeros((4,))
+    r1 = net.apply(variables, obs, acts, obs, dones)
+    # read-only forward: repeated calls identical
+    r2 = net.apply(variables, obs, acts, obs, dones)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+    # folding shifted data into the stats changes the output
+    _, mutated = net.apply(
+        variables, obs, acts, obs, dones, update_stats=True, mutable=["stats"]
+    )
+    v2 = {**variables, **mutated}
+    r3 = net.apply(v2, obs, acts, obs, dones)
+    assert not np.allclose(np.asarray(r1), np.asarray(r3))
+
+
+def test_gail_with_input_norm_smoke():
+    import jax
+
+    from imitation_tpu.algorithms.adversarial.gail import GAIL
+    from imitation_tpu.envs import make_vec_env
+    from imitation_tpu.rewards.reward_nets import BasicRewardNet
+    from imitation_tpu.rl.ppo import PPOConfig
+    from imitation_tpu.testing import experts
+
+    venv = make_vec_env("CartPole-v1", num_envs=4, max_episode_steps=20)
+    demos = experts.generate_expert_trajectories("CartPole-v1", venv, min_episodes=2)
+    net = BasicRewardNet(
+        observation_space=venv.observation_space,
+        action_space=venv.action_space,
+        normalize_input=True,
+    )
+    gail = GAIL(
+        demonstrations=demos,
+        demo_batch_size=16,
+        venv=venv,
+        reward_net=net,
+        gen_config=PPOConfig(n_steps=8, n_minibatches=2, n_epochs=1),
+        allow_variable_horizon=True,
+        seed=0,
+    )
+    before = np.asarray(
+        jax.device_get(gail.disc_state.variables["stats"]["input_norm"]["count"])
+    )
+    gail.train(2 * gail.gen_train_timesteps)
+    after = np.asarray(
+        jax.device_get(gail.disc_state.variables["stats"]["input_norm"]["count"])
+    )
+    assert after > before  # disc steps folded batches into the input norm
