@@ -1,0 +1,296 @@
+"""Benchmark parity runs: {bc, dagger, gail, airl} x 5 seals MuJoCo envs.
+
+The reference's benchmark matrix (reference benchmarking/README.md:3-6) at
+its tuned hyperparameters (reference scripts/config/tuned_hps/
+{algo}_seals_{env}_best_hp_eval.json — values inlined below). Experts and
+demonstrations come from ``output/experts`` (train with
+``python -m benchmarking.train_experts``); results append to
+``output/parity/results.json``.
+
+Usage: python -m benchmarking.run_parity <algo> <env_key> [--seed N]
+       [--total-timesteps N]   (to shorten from the reference budget)
+e.g.:  python -m benchmarking.run_parity gail seals_swimmer
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import flax.linen as nn
+import numpy as np
+
+from imitation_tpu.data import rollout as rollout_mod
+from imitation_tpu.data import serialize
+from imitation_tpu.envs import make_vec_env
+from imitation_tpu.models.policies import ActorCriticPolicy
+from imitation_tpu.policies import serialize as policy_serialize
+from imitation_tpu.rewards.reward_nets import BasicRewardNet, BasicShapedRewardNet
+from imitation_tpu.rl.ppo import PPOConfig
+
+EXPERTS_DIR = os.path.join("output", "experts")
+OUT_PATH = os.path.join("output", "parity", "results.json")
+
+ENV_IDS = {
+    "seals_ant": "seals/Ant-v1",
+    "seals_half_cheetah": "seals/HalfCheetah-v1",
+    "seals_hopper": "seals/Hopper-v1",
+    "seals_swimmer": "seals/Swimmer-v1",
+    "seals_walker2d": "seals/Walker2d-v1",
+}
+
+# --- tuned HPs (reference scripts/config/tuned_hps/*.json) -----------------
+
+# gail/airl: (total, demo_batch, replay_cap, n_disc, rl_batch, minibatch,
+#             clip, ent, lam, gamma, lr, max_grad_norm, epochs, vf)
+ADVERSARIAL_HPS = {
+    ("gail", "seals_ant"): (1e7, 32, 16384, 8, 16384, 16, 0.3, 8.87e-3, 0.8, 0.995, 2.43e-5, 0.9, 10, 0.435),
+    ("gail", "seals_half_cheetah"): (1e7, 8192, 512, 8, 4096, 64, 0.1, 3.99e-6, 0.95, 0.95, 2.63e-4, 0.8, 5, 0.115),
+    ("gail", "seals_hopper"): (1e7, 128, 4096, 8, 4096, 512, 0.1, 1.26e-3, 0.98, 0.995, 4.4e-5, 0.9, 20, 0.203),
+    ("gail", "seals_swimmer"): (1e7, 32, 4096, 16, 4096, 64, 0.1, 2.26e-6, 0.95, 0.999, 2.02e-5, 2.0, 5, 0.616),
+    ("gail", "seals_walker2d"): (1e7, 512, 16384, 16, 16384, 128, 0.4, 7.57e-4, 0.92, 0.98, 1.94e-5, 0.6, 20, 0.617),
+    ("airl", "seals_ant"): (1e7, 8192, 8192, 16, 8192, 16, 0.3, 3.28e-6, 0.8, 0.995, 3.25e-5, 0.9, 10, 0.435),
+    ("airl", "seals_half_cheetah"): (1e7, 2048, 512, 16, 8192, 64, 0.1, 5.54e-4, 0.95, 0.95, 4.72e-4, 0.8, 5, 0.115),
+    ("airl", "seals_hopper"): (1e7, 2048, 8192, 16, 8192, 512, 0.1, 9.71e-3, 0.98, 0.995, 5.81e-4, 0.9, 20, 0.203),
+    ("airl", "seals_swimmer"): (1e7, 128, 16384, 16, 16384, 64, 0.1, 6.14e-3, 0.95, 0.999, 1.34e-3, 2.0, 5, 0.616),
+    ("airl", "seals_walker2d"): (1e7, 512, 16384, 16, 16384, 128, 0.4, 2.0e-3, 0.92, 0.98, 3.05e-5, 0.6, 20, 0.617),
+}
+
+# bc: (batch_size, l2_weight, lr, n_epochs)
+BC_HPS = {
+    "seals_ant": (16, 2.35e-5, 1.76e-3, 5),
+    "seals_half_cheetah": (64, 5.73e-3, 8.06e-3, 20),
+    "seals_hopper": (64, 1.36e-6, 7.17e-4, 20),
+    "seals_swimmer": (16, 4.38e-5, 1.64e-3, 10),
+    "seals_walker2d": (32, 1.47e-3, 3.03e-4, 20),
+}
+
+# dagger: (total_timesteps, beta_schedule, rollout_round_min_episodes,
+#          bc_n_epochs)  — bc lr=1e-3, l2=1e-4, batch 16 across envs
+DAGGER_HPS = {
+    "seals_ant": (100_000, ("linear", 15), 5, 10),
+    "seals_half_cheetah": (60_000, ("exp", 0.7), 5, 5),
+    "seals_hopper": (100_000, ("exp", 0.7), 10, 1),
+    "seals_swimmer": (100_000, ("linear", 15), 3, 1),
+    "seals_walker2d": (100_000, ("exp", 0.7), 5, 5),
+}
+
+
+def load_expert(env_key: str, venv):
+    policy, variables = policy_serialize.load_policy_from_path(
+        os.path.join(EXPERTS_DIR, env_key, "policy")
+    )
+    demos = serialize.load(os.path.join(EXPERTS_DIR, env_key, "rollouts"))
+    return policy, variables, list(demos)
+
+
+def eval50(policy_apply, variables, venv, n=50, seed=12345):
+    trajs = rollout_mod.generate_trajectories(
+        policy_apply, variables, venv, rollout_mod.make_min_episodes(n), rng=seed
+    )
+    return float(np.mean([t.rews.sum() for t in trajs]))
+
+
+def run_bc(env_key: str, seed: int, total_override=None):
+    from imitation_tpu.algorithms.bc import BC
+
+    batch_size, l2, lr, n_epochs = BC_HPS[env_key]
+    venv = make_vec_env(ENV_IDS[env_key], num_envs=16)
+    _, _, demos = load_expert(env_key, venv)
+    bc = BC(
+        observation_space=venv.observation_space,
+        action_space=venv.action_space,
+        demonstrations=demos,
+        rng=seed,
+        batch_size=batch_size,
+        l2_weight=l2,
+        optimizer_kwargs=dict(learning_rate=lr),
+    )
+    bc.train(n_epochs=n_epochs)
+    return eval50(bc.policy.sample_fn(), bc.state.variables, venv, seed=seed + 1)
+
+
+def run_dagger(env_key: str, seed: int, total_override=None):
+    import tempfile
+
+    from imitation_tpu.algorithms.bc import BC
+    from imitation_tpu.algorithms.dagger import (
+        ExponentialBetaSchedule,
+        LinearBetaSchedule,
+        SimpleDAggerTrainer,
+    )
+
+    total, (sched_kind, sched_arg), min_eps, bc_epochs = DAGGER_HPS[env_key]
+    if total_override:
+        total = total_override
+    venv = make_vec_env(ENV_IDS[env_key], num_envs=16)
+    expert_policy, expert_vars, _ = load_expert(env_key, venv)
+    schedule = (
+        LinearBetaSchedule(sched_arg) if sched_kind == "linear"
+        else ExponentialBetaSchedule(sched_arg)
+    )
+    bc = BC(
+        observation_space=venv.observation_space,
+        action_space=venv.action_space,
+        rng=seed,
+        batch_size=16,
+        l2_weight=1e-4,
+        optimizer_kwargs=dict(learning_rate=1e-3),
+    )
+    with tempfile.TemporaryDirectory(prefix="dagger_parity_") as scratch:
+        trainer = SimpleDAggerTrainer(
+            venv=venv,
+            scratch_dir=scratch,
+            expert_policy_apply=expert_policy.sample_fn(),
+            expert_params=expert_vars,
+            rng=seed,
+            beta_schedule=schedule,
+            bc_trainer=bc,
+        )
+        trainer.train(
+            total,
+            rollout_round_min_episodes=min_eps,
+            bc_train_kwargs=dict(n_epochs=bc_epochs),
+        )
+        return eval50(
+            trainer.policy.sample_fn(), trainer.policy_variables, venv,
+            seed=seed + 1,
+        )
+
+
+def run_adversarial(algo: str, env_key: str, seed: int, total_override=None):
+    from imitation_tpu.algorithms.adversarial.airl import AIRL
+    from imitation_tpu.algorithms.adversarial.gail import GAIL
+
+    (total, demo_bs, replay, n_disc, rl_batch, mb, clip, ent, lam, gamma, lr,
+     mgn, epochs, vf) = ADVERSARIAL_HPS[(algo, env_key)]
+    if total_override:
+        total = total_override
+    num_envs = 16
+    venv = make_vec_env(ENV_IDS[env_key], num_envs=num_envs)
+    _, _, demos = load_expert(env_key, venv)
+
+    policy = ActorCriticPolicy(  # FeedForward32Policy + NormalizeFeaturesExtractor
+        observation_space=venv.observation_space,
+        action_space=venv.action_space,
+        hid_sizes=(32, 32),
+        normalize_features=True,
+    )
+    gen_config = PPOConfig(
+        n_steps=rl_batch // num_envs,
+        n_minibatches=max(1, rl_batch // mb),
+        n_epochs=epochs,
+        learning_rate=lr,
+        gamma=gamma,
+        gae_lambda=lam,
+        clip_range=clip,
+        ent_coef=ent,
+        vf_coef=vf,
+        max_grad_norm=mgn,
+    )
+    if algo == "gail":
+        reward_net = BasicRewardNet(
+            observation_space=venv.observation_space,
+            action_space=venv.action_space,
+            normalize_input=True,
+        )
+        trainer = GAIL(
+            demonstrations=demos,
+            demo_batch_size=demo_bs,
+            venv=venv,
+            policy=policy,
+            reward_net=reward_net,
+            gen_config=gen_config,
+            n_disc_updates_per_round=n_disc,
+            gen_replay_buffer_capacity=replay,
+            seed=seed,
+        )
+    else:
+        reward_net = BasicShapedRewardNet(
+            observation_space=venv.observation_space,
+            action_space=venv.action_space,
+            normalize_input=True,
+        )
+        trainer = AIRL(
+            demonstrations=demos,
+            demo_batch_size=demo_bs,
+            venv=venv,
+            policy=policy,
+            reward_net=reward_net,
+            gen_config=gen_config,
+            n_disc_updates_per_round=n_disc,
+            gen_replay_buffer_capacity=replay,
+            seed=seed,
+        )
+    t0 = time.time()
+    n_rounds = max(1, int(total) // trainer.gen_train_timesteps)
+    log_every = max(1, n_rounds // 40)
+    history = []
+    for r in range(n_rounds):
+        trainer.train(trainer.gen_train_timesteps)
+        if (r + 1) % log_every == 0:
+            ret = eval50(
+                trainer.policy.sample_fn(), trainer.policy_variables, venv,
+                n=5, seed=seed + 7,
+            )
+            history.append({
+                "round": r + 1,
+                "timesteps": (r + 1) * trainer.gen_train_timesteps,
+                "return5": ret,
+                "wall_s": time.time() - t0,
+            })
+            print(f"[{algo}/{env_key}] round {r+1}/{n_rounds} "
+                  f"({history[-1]['timesteps']} steps) return5={ret:.1f} "
+                  f"({history[-1]['wall_s']:.0f}s)", flush=True)
+    final = eval50(
+        trainer.policy.sample_fn(), trainer.policy_variables, venv, seed=seed + 1
+    )
+    return final, history
+
+
+RUNNERS = {"bc": run_bc, "dagger": run_dagger}
+
+
+def record(algo, env_key, seed, final, extra=None):
+    os.makedirs(os.path.dirname(OUT_PATH), exist_ok=True)
+    results = {}
+    if os.path.exists(OUT_PATH):
+        with open(OUT_PATH) as f:
+            results = json.load(f)
+    entry = {"return": final, "seed": seed, "ts": time.time()}
+    if extra:
+        entry.update(extra)
+    results.setdefault(f"{algo}/{env_key}", []).append(entry)
+    with open(OUT_PATH, "w") as f:
+        json.dump(results, f, indent=1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("algo", choices=["bc", "dagger", "gail", "airl"])
+    ap.add_argument("env_key", choices=sorted(ENV_IDS))
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--total-timesteps", type=int, default=None)
+    args = ap.parse_args()
+
+    t0 = time.time()
+    if args.algo in RUNNERS:
+        final = RUNNERS[args.algo](args.env_key, args.seed, args.total_timesteps)
+        extra = {}
+    else:
+        final, history = run_adversarial(
+            args.algo, args.env_key, args.seed, args.total_timesteps
+        )
+        extra = {"history": history}
+    extra["wall_s"] = time.time() - t0
+    if args.total_timesteps:
+        extra["total_timesteps_override"] = args.total_timesteps
+    record(args.algo, args.env_key, args.seed, final, extra)
+    print(f"{args.algo}/{args.env_key} seed={args.seed}: return={final:.1f} "
+          f"({extra['wall_s']:.0f}s)")
+
+
+if __name__ == "__main__":
+    main()
