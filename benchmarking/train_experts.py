@@ -100,7 +100,7 @@ SPECS = {
 _ACTIVATIONS = {"tanh": nn.tanh, "relu": nn.relu}
 
 
-def train_expert(key: str, seed: int = 0) -> float:
+def train_expert(key: str, seed: int = 0, resume: bool = False) -> float:
     spec = SPECS[key]
     venv = make_vec_env(spec.env_name, num_envs=spec.num_envs)
     if spec.batch_size % spec.num_envs:
@@ -114,6 +114,11 @@ def train_expert(key: str, seed: int = 0) -> float:
         normalize_features=True,
         log_std_init=-0.5,
     )
+    resume_variables = None
+    if resume:
+        _, resume_variables = policy_serialize.load_policy_from_path(
+            os.path.join(OUT_ROOT, key, "policy")
+        )
     ppo = PPO(
         venv,
         policy,
@@ -132,6 +137,9 @@ def train_expert(key: str, seed: int = 0) -> float:
         seed=seed,
     )
     state = ppo.init_state()
+    if resume_variables is not None:
+        state = state.replace(variables=resume_variables)
+        print(f"[{key}] resumed from saved policy")
     t0 = time.time()
     steps_per_iter = n_steps * spec.num_envs
     total = 0
@@ -184,6 +192,9 @@ def _quick_eval(ppo, state, venv, n_episodes: int, seed: int) -> float:
 
 
 if __name__ == "__main__":
-    keys = sys.argv[1:] or list(SPECS)
+    argv = sys.argv[1:]
+    resume = "--resume" in argv
+    argv = [a for a in argv if a != "--resume"]
+    keys = argv or list(SPECS)
     for k in keys:
-        train_expert(k)
+        train_expert(k, resume=resume)

@@ -99,6 +99,11 @@ def gae_auto(
     the VMEM kernel (note: on remote-compile runtimes the Mosaic compile of
     this kernel has been observed to be very slow — verify on your stack
     before enabling in a hot path).
+
+    Measured on a TPU v5e chip (f32, zero-done batches): T=128 B=1024 —
+    scan 30us vs pallas 48us; T=128 B=4096 — scan ~1.0ms vs pallas 0.8ms
+    (results equal to ~7e-6). Both are noise next to a full training round,
+    so the simpler scan stays the default.
     """
     if prefer_pallas and jax.default_backend() == "tpu":
         return gae_pallas(rews, values, next_values, terminated, dones, gamma, lam)
