@@ -30,12 +30,13 @@ class GymHostEnv(Env):
     vectorized interface. Construction validates the env id eagerly.
     """
 
-    def __init__(self, env_id: str, **make_kwargs):
+    def __init__(self, env_id: str, post_wrappers=None, **make_kwargs):
         import gymnasium as gym
 
         if env_id not in gym.registry:
             raise KeyError(f"unknown gymnasium env {env_id!r}")
         self.env_id = env_id
+        self.post_wrappers = list(post_wrappers or [])
         self.make_kwargs = make_kwargs
         spec = gym.spec(env_id)
         self.max_episode_steps = spec.max_episode_steps
@@ -55,7 +56,10 @@ class GymHostEnv(Env):
     def make(self):
         import gymnasium as gym
 
-        return gym.make(self.env_id, **self.make_kwargs)
+        env = gym.make(self.env_id, **self.make_kwargs)
+        for wrap in self.post_wrappers:
+            env = wrap(env)
+        return env
 
     def reset(self, key):
         raise TypeError(

@@ -84,23 +84,46 @@ def _with_horizon(env: Env, horizon: int) -> Env:
 # seals' defining changes vs plain gym MuJoCo: fixed horizon (no early
 # termination) and positions included in observations. Stepped on host
 # through the gym bridge (MuJoCo's C core, GIL-releasing threads).
+def _make_seals_reward_compat(healthy_reward: float):
+    """v3-era reward semantics for seals envs on Gymnasium v5 MuJoCo.
+
+    seals pins gym envs whose ``healthy_reward`` was paid on EVERY step when
+    ``terminate_when_unhealthy=False`` (the pre-v5 behavior; Gymnasium fixed
+    it in v5 — see hopper_v5.py "Fixed bug: healthy_reward was given on every
+    step"). The reference's published benchmark returns (BASELINE.md) are in
+    those units; this wrapper adds the withheld healthy_reward back on
+    unhealthy steps so returns are directly comparable.
+    """
+    import gymnasium as gym
+
+    class SealsRewardCompat(gym.Wrapper):
+        def step(self, action):
+            obs, rew, term, trunc, info = self.env.step(action)
+            survive = info.get("reward_survive", healthy_reward)
+            rew = rew + (healthy_reward - survive)
+            return obs, rew, term, trunc, info
+
+    return SealsRewardCompat
+
+
 def _register_seals_mujoco():
     import functools
 
+    unhealthy_ok = {"terminate_when_unhealthy": False}
     specs = {
-        "seals/HalfCheetah-v0": ("HalfCheetah-v5", {}),
-        "seals/HalfCheetah-v1": ("HalfCheetah-v5", {}),
-        "seals/Ant-v0": ("Ant-v5", {"terminate_when_unhealthy": False}),
-        "seals/Ant-v1": ("Ant-v5", {"terminate_when_unhealthy": False}),
-        "seals/Hopper-v0": ("Hopper-v5", {"terminate_when_unhealthy": False}),
-        "seals/Hopper-v1": ("Hopper-v5", {"terminate_when_unhealthy": False}),
-        "seals/Walker2d-v0": ("Walker2d-v5", {"terminate_when_unhealthy": False}),
-        "seals/Walker2d-v1": ("Walker2d-v5", {"terminate_when_unhealthy": False}),
-        "seals/Swimmer-v0": ("Swimmer-v5", {}),
-        "seals/Swimmer-v1": ("Swimmer-v5", {}),
+        "seals/HalfCheetah-v0": ("HalfCheetah-v5", {}, None),
+        "seals/HalfCheetah-v1": ("HalfCheetah-v5", {}, None),
+        "seals/Ant-v0": ("Ant-v5", unhealthy_ok, 1.0),
+        "seals/Ant-v1": ("Ant-v5", unhealthy_ok, 1.0),
+        "seals/Hopper-v0": ("Hopper-v5", unhealthy_ok, 1.0),
+        "seals/Hopper-v1": ("Hopper-v5", unhealthy_ok, 1.0),
+        "seals/Walker2d-v0": ("Walker2d-v5", unhealthy_ok, 1.0),
+        "seals/Walker2d-v1": ("Walker2d-v5", unhealthy_ok, 1.0),
+        "seals/Swimmer-v0": ("Swimmer-v5", {}, None),
+        "seals/Swimmer-v1": ("Swimmer-v5", {}, None),
     }
 
-    def factory(base_id, base_kwargs, **kw):
+    def factory(base_id, base_kwargs, healthy_reward, **kw):
         from imitation_tpu.envs.gym_bridge import GymHostEnv
 
         kwargs = {
@@ -108,10 +131,13 @@ def _register_seals_mujoco():
             **base_kwargs,
             **kw,
         }
-        return GymHostEnv(base_id, **kwargs)
+        post = []
+        if healthy_reward is not None:
+            post.append(_make_seals_reward_compat(healthy_reward))
+        return GymHostEnv(base_id, post_wrappers=post, **kwargs)
 
-    for name, (base_id, base_kwargs) in specs.items():
-        register(name, functools.partial(factory, base_id, base_kwargs))
+    for name, (base_id, base_kwargs, healthy) in specs.items():
+        register(name, functools.partial(factory, base_id, base_kwargs, healthy))
 
 
 _register_seals_mujoco()
