@@ -55,6 +55,9 @@ def _space_from_json(d: Dict[str, Any]) -> Space:
 def save_policy(path: str, policy: ActorCriticPolicy, variables: Any) -> None:
     """Saves policy architecture + variables to ``path`` (a directory)."""
     os.makedirs(path, exist_ok=True)
+    act_name = getattr(policy.activation, "__name__", None) or getattr(
+        getattr(policy.activation, "__wrapped__", None), "__name__", "tanh"
+    )
     config = {
         "policy_type": "actor_critic",
         "observation_space": _space_to_json(policy.observation_space),
@@ -62,6 +65,7 @@ def save_policy(path: str, policy: ActorCriticPolicy, variables: Any) -> None:
         "hid_sizes": list(policy.hid_sizes),
         "normalize_features": policy.normalize_features,
         "log_std_init": policy.log_std_init,
+        "activation": act_name,
     }
     with open(os.path.join(path, POLICY_CONFIG), "w") as f:
         json.dump(config, f, indent=2)
@@ -75,12 +79,17 @@ def load_policy_from_path(path: str) -> Tuple[ActorCriticPolicy, Any]:
         config = json.load(f)
     if config["policy_type"] != "actor_critic":
         raise ValueError(f"unknown policy_type {config['policy_type']!r}")
+    import flax.linen as nn
+
+    activations = {"tanh": nn.tanh, "relu": nn.relu, "sigmoid": nn.sigmoid,
+                   "gelu": nn.gelu, "elu": nn.elu}
     policy = ActorCriticPolicy(
         observation_space=_space_from_json(config["observation_space"]),
         action_space=_space_from_json(config["action_space"]),
         hid_sizes=tuple(config["hid_sizes"]),
         normalize_features=config["normalize_features"],
         log_std_init=config["log_std_init"],
+        activation=activations[config.get("activation", "tanh")],
     )
     template = policy.init(jax.random.key(0))
     with open(os.path.join(path, POLICY_VARS), "rb") as f:

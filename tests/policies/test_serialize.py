@@ -88,3 +88,31 @@ def test_save_policy_callback(tmp_path, venv):
 
     saved = [d for d in os.listdir(tmp_path)]
     assert len(saved) == 2  # every 2nd call
+
+
+def test_policy_roundtrip_preserves_activation(tmp_path):
+    """Activation must survive save/load — a tanh-for-relu swap silently
+    breaks a trained policy."""
+    import flax.linen as nn
+    import jax
+    import numpy as np
+
+    from imitation_tpu.envs import make_vec_env
+    from imitation_tpu.models.policies import ActorCriticPolicy
+    from imitation_tpu.policies import serialize as policy_serialize
+
+    venv = make_vec_env("Pendulum-v1", num_envs=2)
+    policy = ActorCriticPolicy(
+        observation_space=venv.observation_space,
+        action_space=venv.action_space,
+        activation=nn.relu,
+    )
+    variables = policy.init(jax.random.key(0))
+    policy_serialize.save_policy(str(tmp_path / "p"), policy, variables)
+    loaded, lvars = policy_serialize.load_policy_from_path(str(tmp_path / "p"))
+
+    obs = np.full((3, 3), 0.7, np.float32)
+    d1, v1 = policy.dist_and_value(variables, obs)
+    d2, v2 = loaded.dist_and_value(lvars, obs)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(d1.mean), np.asarray(d2.mean), rtol=1e-6)
