@@ -120,6 +120,16 @@ class HostCollector:
     def __init__(self, venv, policy_apply: PolicyApply, params: Any, seed: int = 0):
         self.venv = venv
         self._apply = jax.jit(policy_apply)
+
+        # One fused dispatch per env step: fold the RNG split into the
+        # jitted call (a bare jax.random.split is its own ~0.3ms dispatch
+        # on the CPU backend, comparable to the MLP forward itself).
+        def _step_apply(params, obs, key):
+            key, k_act = jax.random.split(key)
+            acts, aux = policy_apply(params, obs, k_act)
+            return acts, aux, key
+
+        self._step_apply = jax.jit(_step_apply)
         self.params = params
         # Pin the per-step policy forward to the LOCAL CPU: with a remote /
         # tunneled accelerator, a device call per env step costs a network
@@ -153,9 +163,9 @@ class HostCollector:
         )}
         aux_recs: list = []
         params = self._params_for_apply()
+        key = self.key
         for _ in range(num_steps):
-            self.key, k_act = jax.random.split(self.key)
-            acts, aux = self._apply(params, np.asarray(self.obs), k_act)
+            acts, aux, key = self._step_apply(params, np.asarray(self.obs), key)
             acts = np.asarray(acts)
             out = self.venv.step(acts)
             recs["obs"].append(self.obs)
@@ -166,8 +176,10 @@ class HostCollector:
             recs["truncated"].append(out["truncated"])
             recs["episode_return"].append(out["episode_return"])
             recs["episode_length"].append(out["episode_length"])
-            aux_recs.append(jax.device_get(aux))
+            aux_recs.append(aux)
             self.obs = out["obs"]
+        self.key = key
+        aux_recs = jax.device_get(aux_recs)
         stacked = {k: np.stack(v) for k, v in recs.items()}
         if aux_recs and isinstance(aux_recs[0], dict) and aux_recs[0]:
             aux_stacked = {

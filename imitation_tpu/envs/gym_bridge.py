@@ -107,10 +107,21 @@ class HostVectorEnv:
             import os
 
             num_threads = min(num_envs, os.cpu_count() or 1)
+        self._num_threads = max(1, num_threads)
         if num_threads > 1 and num_envs > 1:
             from concurrent.futures import ThreadPoolExecutor
 
             self._pool = ThreadPoolExecutor(max_workers=num_threads)
+            # One task per WORKER, not per env: each worker steps a
+            # contiguous slice of envs, so per-step pool overhead is
+            # O(threads) instead of O(envs) — matters at 64+ envs on a
+            # small host.
+            bounds = np.linspace(0, num_envs, self._num_threads + 1).astype(int)
+            self._chunks = [
+                (int(bounds[i]), int(bounds[i + 1]))
+                for i in range(self._num_threads)
+                if bounds[i] < bounds[i + 1]
+            ]
 
     @property
     def observation_space(self) -> Space:
@@ -146,13 +157,18 @@ class HostVectorEnv:
             self._ep_ret[i] = 0
         return o, term_o, r, term, trunc, ep_ret, ep_len
 
+    def _step_slice(self, lo: int, hi: int, actions) -> list:
+        return [self._step_one(i, actions[i]) for i in range(lo, hi)]
+
     def step(self, actions: np.ndarray):
         """Returns dict with same fields as VecStep (numpy)."""
         B = self.num_envs
         if self._pool is not None:
-            results = list(
-                self._pool.map(self._step_one, range(B), list(actions))
-            )
+            futs = [
+                self._pool.submit(self._step_slice, lo, hi, actions)
+                for lo, hi in self._chunks
+            ]
+            results = [r for f in futs for r in f.result()]
         else:
             results = [self._step_one(i, actions[i]) for i in range(B)]
         obs, term_obs, rew, term, trunc, ep_ret, ep_len = zip(*results)
