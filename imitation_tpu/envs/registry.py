@@ -55,6 +55,18 @@ def make_vec_env(
     src/imitation/scripts/ingredients/environment.py:17-18); here ``num_envs``
     is just a leading batch dimension, so thousands are as cheap as eight.
     """
+    use_lockstep = env_kwargs.pop("lockstep", True)
+    if use_lockstep and not env_kwargs:
+        from imitation_tpu.envs import mujoco_native
+
+        if mujoco_native.supports(name):
+            # Fixed-horizon seals MuJoCo: batch-stepped through MuJoCo's
+            # native threaded rollout (no per-env Python) — ~3x the
+            # per-env gym-bridge path. Pass lockstep=False to force the
+            # bridge.
+            return mujoco_native.MujocoLockstepVectorEnv(
+                name, num_envs=num_envs, max_episode_steps=max_episode_steps
+            )
     env = make_env(name, **env_kwargs)
     from imitation_tpu.envs.gym_bridge import GymHostEnv, HostVectorEnv
 
