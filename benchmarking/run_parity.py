@@ -168,7 +168,10 @@ def run_adversarial(algo: str, env_key: str, seed: int, total_override=None):
      mgn, epochs, vf) = ADVERSARIAL_HPS[(algo, env_key)]
     if total_override:
         total = total_override
-    num_envs = 16
+    # More envs amortizes per-step host/dispatch overhead (lockstep MuJoCo
+    # engine keeps scaling); n_steps = rl_batch // num_envs stays integral
+    # for all tuned rl_batch values (>= 4096).
+    num_envs = 64
     venv = make_vec_env(ENV_IDS[env_key], num_envs=num_envs)
     _, _, demos = load_expert(env_key, venv)
 
@@ -228,6 +231,10 @@ def run_adversarial(algo: str, env_key: str, seed: int, total_override=None):
     n_rounds = max(1, int(total) // trainer.gen_train_timesteps)
     log_every = max(1, n_rounds // 40)
     history = []
+    hist_path = os.path.join(
+        os.path.dirname(OUT_PATH), f"{algo}_{env_key}_s{seed}_history.json"
+    )
+    os.makedirs(os.path.dirname(hist_path), exist_ok=True)
     for r in range(n_rounds):
         trainer.train(trainer.gen_train_timesteps)
         if (r + 1) % log_every == 0:
@@ -241,6 +248,10 @@ def run_adversarial(algo: str, env_key: str, seed: int, total_override=None):
                 "return5": ret,
                 "wall_s": time.time() - t0,
             })
+            # Incremental dump so an interrupted long run still leaves a
+            # usable learning curve.
+            with open(hist_path, "w") as f:
+                json.dump(history, f, indent=1)
             print(f"[{algo}/{env_key}] round {r+1}/{n_rounds} "
                   f"({history[-1]['timesteps']} steps) return5={ret:.1f} "
                   f"({history[-1]['wall_s']:.0f}s)", flush=True)
