@@ -100,8 +100,13 @@ SPECS = {
 _ACTIVATIONS = {"tanh": nn.tanh, "relu": nn.relu}
 
 
-def train_expert(key: str, seed: int = 0, resume: bool = False) -> float:
+def train_expert(
+    key: str, seed: int = 0, resume: bool = False,
+    extra_timesteps: int = 0,
+) -> float:
     spec = SPECS[key]
+    if extra_timesteps:
+        spec = dataclasses.replace(spec, total_timesteps=extra_timesteps)
     venv = make_vec_env(spec.env_name, num_envs=spec.num_envs)
     if spec.batch_size % spec.num_envs:
         raise ValueError(f"batch_size {spec.batch_size} % num_envs {spec.num_envs}")
@@ -195,6 +200,11 @@ if __name__ == "__main__":
     argv = sys.argv[1:]
     resume = "--resume" in argv
     argv = [a for a in argv if a != "--resume"]
+    extra = 0
+    if "--extra-timesteps" in argv:
+        i = argv.index("--extra-timesteps")
+        extra = int(argv[i + 1])
+        del argv[i : i + 2]
     keys = argv or list(SPECS)
     for k in keys:
-        train_expert(k, resume=resume)
+        train_expert(k, resume=resume, extra_timesteps=extra)
