@@ -90,12 +90,61 @@ def markdown_summary(source_dirs: Sequence[str]) -> str:
     return "\n".join(lines) + "\n"
 
 
+# Reference returns published inside the reference repo itself
+# (reference benchmarking/README.md:125-127); everything else in the
+# reference's matrix lives in external release artifacts we can't fetch.
+_REFERENCE_RETURNS = {
+    "gail/seals_walker2d": 2298.88,
+    "gail/seals_swimmer": 287.34,
+    "airl/seals_walker2d": 310.41,
+}
+
+
+def parity_markdown(
+    results_path: str = os.path.join("output", "parity", "results.json"),
+    experts_path: str = os.path.join("output", "experts", "summary.json"),
+) -> str:
+    """Markdown table of the parity matrix vs experts + in-repo reference
+    numbers (the reference's benchmark protocol, benchmarking/README.md)."""
+    with open(results_path) as f:
+        results = json.load(f)
+    experts: Dict[str, float] = {}
+    if os.path.exists(experts_path):
+        with open(experts_path) as f:
+            experts = json.load(f)
+    lines = [
+        "| Algo / Env | Return (mean over seeds) | Expert (ours) | Reference |",
+        "|---|---|---|---|",
+    ]
+    for key in sorted(results):
+        returns = [e["return"] for e in results[key]]
+        env_key = key.split("/", 1)[1]
+        exp = experts.get(env_key)
+        ref = _REFERENCE_RETURNS.get(key)
+        mean = f"{np.mean(returns):.1f}"
+        if len(returns) > 1:
+            mean += f" (n={len(returns)})"
+        exp_s = f"{exp:.1f}" if exp is not None else "—"
+        ref_s = f"{ref:.2f}" if ref is not None else "—"
+        lines.append(f"| {key} | {mean} | {exp_s} | {ref_s} |")
+    return "\n".join(lines)
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("source_dirs", nargs="+")
+    p.add_argument("source_dirs", nargs="*")
     p.add_argument("--csv", default=None)
     p.add_argument("--markdown", action="store_true")
+    p.add_argument(
+        "--parity", action="store_true",
+        help="summarize output/parity/results.json vs reference returns",
+    )
     args = p.parse_args()
+    if args.parity:
+        print(parity_markdown())
+        return
+    if not args.source_dirs:
+        p.error("source_dirs required unless --parity")
     if args.csv:
         runs_to_csv(args.source_dirs, args.csv)
         print(f"wrote {args.csv}")
