@@ -11,6 +11,7 @@ framework-version-tolerant layout replacing torch ``model.zip`` pickles.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 from typing import Any, Callable, Dict, Optional, Tuple
@@ -118,6 +119,18 @@ def _load_zero(venv: VectorEnv, **kwargs):
 
 
 def _load_saved(venv: VectorEnv, path: str, **kwargs):
+    # SB3 interop: a model.zip (or a dir containing one) is a reference /
+    # SB3-trained policy — convert its weights (reference loads these via
+    # PPO.load, policies/serialize.py:123-152).
+    zip_path = None
+    if path.endswith(".zip") and os.path.exists(path):
+        zip_path = path
+    elif os.path.isdir(path) and os.path.exists(os.path.join(path, "model.zip")):
+        zip_path = os.path.join(path, "model.zip")
+    if zip_path is not None:
+        from imitation_tpu.policies import sb3_interop
+
+        return sb3_interop.load_sb3_policy_for_env(zip_path, venv)
     policy, variables = load_policy_from_path(path)
     if policy.observation_space.shape != venv.observation_space.shape:
         raise ValueError(
@@ -127,11 +140,52 @@ def _load_saved(venv: VectorEnv, path: str, **kwargs):
     return policy, variables
 
 
+def _hf_model_name(algo: str, env_name: str) -> str:
+    """huggingface_sb3 naming: '/' in env ids becomes '-'."""
+    return f"{algo}-{env_name.replace('/', '-')}"
+
+
+def _load_huggingface(
+    venv: VectorEnv,
+    env_name: str,
+    algo: str = "ppo",
+    organization: str = "HumanCompatibleAI",
+    **kwargs,
+):
+    """Download an SB3 expert from the HuggingFace hub and convert it
+    (reference policies/serialize.py:155-202, huggingface_sb3 naming).
+
+    Needs network access; with a warm local hub cache it also works
+    offline (huggingface_hub falls back to the cache on connection errors).
+    """
+    model_name = _hf_model_name(algo, env_name)
+    repo_id = f"{organization}/{model_name}"
+    try:
+        from huggingface_hub import hf_hub_download
+
+        path = hf_hub_download(repo_id=repo_id, filename=f"{model_name}.zip")
+    except Exception as e:
+        raise RuntimeError(
+            f"could not fetch {repo_id} from the HuggingFace hub (offline?). "
+            "Download the model zip manually and load it with "
+            "policy_type='ppo' path=<model.zip>."
+        ) from e
+    from imitation_tpu.policies import sb3_interop
+
+    return sb3_interop.load_sb3_policy_for_env(path, venv)
+
+
 policy_registry.register("random", value=_load_random)
 policy_registry.register("zero", value=_load_zero)
 policy_registry.register("ppo", value=_load_saved)
 policy_registry.register("sac", value=_load_saved)
 policy_registry.register("saved", value=_load_saved)
+policy_registry.register(
+    "ppo-huggingface", value=functools.partial(_load_huggingface, algo="ppo")
+)
+policy_registry.register(
+    "sac-huggingface", value=functools.partial(_load_huggingface, algo="sac")
+)
 
 
 def load_policy(policy_type: str, venv: VectorEnv, **kwargs):
