@@ -138,3 +138,12 @@ def test_loads_real_reference_expert_and_acts_well():
     )
     mean_ret = float(np.mean([t.rews.sum() for t in trajs]))
     assert mean_ret > 400, f"converted SB3 expert scored {mean_ret}"
+
+
+def test_huggingface_loader_offline_error(monkeypatch):
+    from imitation_tpu.envs import make_vec_env
+
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+    venv = make_vec_env("CartPole-v1", num_envs=1)
+    with pytest.raises(RuntimeError, match="HuggingFace hub"):
+        load_policy("ppo-huggingface", venv, env_name="seals/CartPole-v0")
