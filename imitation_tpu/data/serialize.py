@@ -83,8 +83,67 @@ def load(path: str) -> Sequence[types.Trajectory]:
     # legacy single-file formats
     if path.endswith(".npz") and os.path.exists(path):
         warnings.warn("Loading legacy npz trajectory format", DeprecationWarning)
+        with np.load(path, allow_pickle=True) as data:
+            if "indices" in data.files:
+                return _load_reference_npz(data)
         return _load_npz(path)
+    if path.endswith(".pkl") and os.path.exists(path):
+        # Reference pre-npz pickle format: a pickled list of trajectories
+        # (reference data/serialize.py:47-49). Dataclass module paths differ,
+        # so map by field.
+        warnings.warn("Loading legacy pickle trajectory format", DeprecationWarning)
+        return _load_reference_pkl(path)
     raise FileNotFoundError(f"no trajectory data found at {path!r}")
+
+
+def _load_reference_npz(data) -> Sequence[types.Trajectory]:
+    """Decodes the reference's legacy flat-array npz trajectory format:
+    concatenated obs/acts/rews + per-trajectory split ``indices`` and
+    ``terminal`` flags (reference data/serialize.py:50-67). Each trajectory
+    has one more obs than acts, so obs split points shift by +i+1."""
+    num = len(data["indices"])
+    idx = np.asarray(data["indices"])
+    obs = np.split(data["obs"], idx + np.arange(num) + 1)
+    acts = np.split(data["acts"], idx)
+    rews = np.split(data["rews"], idx) if "rews" in data.files else None
+    terminal = np.asarray(data["terminal"])
+    out = []
+    for i in range(len(terminal)):
+        kwargs = dict(
+            obs=obs[i], acts=acts[i], infos=None, terminal=bool(terminal[i])
+        )
+        if rews is not None:
+            out.append(
+                types.TrajectoryWithRew(rews=rews[i].astype(np.float64), **kwargs)
+            )
+        else:
+            out.append(types.Trajectory(**kwargs))
+    return out
+
+
+def _load_reference_pkl(path: str) -> Sequence[types.Trajectory]:
+    import pickle
+
+    class _FieldMapper(pickle.Unpickler):
+        """Resolves the reference's Trajectory classes to ours by name."""
+
+        def find_class(self, module, name):
+            if name == "TrajectoryWithRew":
+                return types.TrajectoryWithRew
+            if name == "Trajectory":
+                return types.Trajectory
+            return super().find_class(module, name)
+
+    with open(path, "rb") as f:
+        head = f.read(12)
+        f.seek(0)
+        if head.startswith(b"version http"):
+            raise ValueError(
+                f"{path!r} is a git-lfs pointer, not pickle data; "
+                "run `git lfs pull` in the source repo first"
+            )
+        data = _FieldMapper(f).load()
+    return list(data)
 
 
 def _load_hf(path: str) -> Sequence[types.TrajectoryWithRew]:
