@@ -13,9 +13,16 @@ Because seals envs are fixed-horizon and never terminate early, all envs
 reset in lockstep, so batch resets are rare (once per horizon) and fully
 vectorized.
 
-seals/Ant is excluded: its observation includes ``cfrc_ext`` (contact
-forces), a derived quantity not contained in the physics state that
-``mujoco.rollout`` returns — it stays on the per-env gym bridge.
+seals/Ant takes a sibling path: its observation includes ``cfrc_ext``
+(contact forces), a derived quantity not contained in the physics state
+that ``mujoco.rollout`` returns — and one whose value is
+warmstart-sensitive (degenerate pyramidal contact decompositions), so
+only the exact gymnasium substep path reproduces it. Ant therefore keeps
+one persistent ``MjData`` per env and advances each with
+``mj_step(nstep=frame_skip)`` + ``mj_rnePostConstraint`` (gymnasium's
+``_step_mujoco_simulation`` arithmetic, bit-for-bit) across a GIL-released
+thread pool — still zero per-env Python inside the physics, still one
+vectorized numpy obs/reward computation per policy step.
 """
 
 from __future__ import annotations
@@ -36,6 +43,8 @@ _SPECS = {
     "seals/Walker2d-v1": ("Walker2d-v5", 10.0, 1.0),
     "seals/Swimmer-v0": ("Swimmer-v5", None, 0.0),
     "seals/Swimmer-v1": ("Swimmer-v5", None, 0.0),
+    "seals/Ant-v0": ("Ant-v5", None, 1.0),
+    "seals/Ant-v1": ("Ant-v5", None, 1.0),
 }
 
 
@@ -68,6 +77,10 @@ class MujocoLockstepVectorEnv:
         base_id, qvel_clip, healthy = _SPECS[env_id]
         self.env_id = env_id
         self.num_envs = num_envs
+        self._mujoco = mujoco
+        # Ant: cfrc_ext in obs + contact cost in reward (gymnasium ant_v5
+        # _get_obs/_get_rew); needs the per-env persistent-MjData path.
+        self._has_cfrc = base_id.startswith("Ant")
 
         # Template env supplies the model, spaces, reward weights, and
         # reset-noise scale — guaranteed in sync with Gymnasium v5.
@@ -80,9 +93,14 @@ class MujocoLockstepVectorEnv:
         self._fwd_w = float(tmpl._forward_reward_weight)
         self._ctrl_w = float(tmpl._ctrl_cost_weight)
         self._noise = float(tmpl._reset_noise_scale)
-        # HalfCheetah draws qvel noise from a normal; the other three
+        if self._has_cfrc:
+            self._contact_w = float(tmpl._contact_cost_weight)
+            self._contact_lo, self._contact_hi = map(
+                float, tmpl._contact_force_range
+            )
+        # HalfCheetah and Ant draw qvel noise from a normal; the other three
         # families draw uniform (gymnasium mujoco/*_v5.py reset_model).
-        self._qvel_noise_normal = base_id.startswith("HalfCheetah")
+        self._qvel_noise_normal = base_id.startswith(("HalfCheetah", "Ant"))
         self._init_qpos = np.asarray(tmpl.init_qpos, np.float64).copy()
         self._init_qvel = np.asarray(tmpl.init_qvel, np.float64).copy()
         self._obs_space = Space.from_gym(tmpl.observation_space)
@@ -108,16 +126,34 @@ class MujocoLockstepVectorEnv:
         import os
 
         nthread = num_threads or min(num_envs, os.cpu_count() or 1)
-        self._pool = mj_rollout.Rollout(nthread=nthread)
-        self._datas = [mujoco.MjData(self._model) for _ in range(nthread)]
-        # skip_checks fast path wants model as a length-nbatch list
-        self._models = [self._model] * num_envs
         self._states = np.zeros((num_envs, self._nstate), np.float64)
-        # preallocated outputs: [B, frame_skip, nstate]
-        self._state_out = np.zeros(
-            (num_envs, self._frame_skip, self._nstate), np.float64
-        )
-        self._ctrl = np.zeros((num_envs, self._frame_skip, self._nu), np.float64)
+        if self._has_cfrc:
+            # Persistent MjData per env, stepped with the exact gymnasium
+            # substep arithmetic (mj_step(nstep) + mj_rnePostConstraint) in
+            # GIL-released threads: cfrc_ext is warmstart-sensitive, so only
+            # this path is bit-identical to gym. mujoco physics calls release
+            # the GIL, so a thread pool gives rollout-module parallelism.
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = None
+            self._env_datas = [
+                mujoco.MjData(self._model) for _ in range(num_envs)
+            ]
+            self._tp = ThreadPoolExecutor(max_workers=nthread)
+            self._nbody = self._model.nbody
+            self._cfrc = np.zeros((num_envs, self._nbody, 6), np.float64)
+        else:
+            self._pool = mj_rollout.Rollout(nthread=nthread)
+            self._datas = [mujoco.MjData(self._model) for _ in range(nthread)]
+            # skip_checks fast path wants model as a length-nbatch list
+            self._models = [self._model] * num_envs
+            # preallocated outputs: [B, frame_skip, nstate]
+            self._state_out = np.zeros(
+                (num_envs, self._frame_skip, self._nstate), np.float64
+            )
+            self._ctrl = np.zeros(
+                (num_envs, self._frame_skip, self._nu), np.float64
+            )
         self._t = 0
         self._ep_ret = np.zeros(num_envs, np.float64)
         self._rng = np.random.default_rng(seed if seed is not None else 0)
@@ -137,7 +173,12 @@ class MujocoLockstepVectorEnv:
         qvel = self._states[:, 1 + self._nq :]
         if self._qvel_clip is not None:
             qvel = np.clip(qvel, -self._qvel_clip, self._qvel_clip)
-        return np.concatenate([qpos, qvel], axis=1)
+        parts = [qpos, qvel]
+        if self._has_cfrc:
+            # gymnasium ant_v5._get_obs: clipped cfrc_ext, world body dropped
+            cf = np.clip(self._cfrc, self._contact_lo, self._contact_hi)
+            parts.append(cf[:, 1:, :].reshape(self.num_envs, -1))
+        return np.concatenate(parts, axis=1)
 
     def _reset_states(self) -> None:
         B = self.num_envs
@@ -157,6 +198,21 @@ class MujocoLockstepVectorEnv:
         self._states[:, 1 + self._nq :] = qvel
         self._t = 0
         self._ep_ret[:] = 0.0
+        if self._has_cfrc:
+            # Exactly gymnasium MujocoEnv.reset: mj_resetData (zeroes ctrl,
+            # warmstart, cfrc_ext) then set_state = qpos/qvel + mj_forward
+            # (which does NOT recompute cfrc_ext -> reset obs cfrc is zero).
+            mujoco = self._mujoco
+
+            def _do_reset(i):
+                d = self._env_datas[i]
+                mujoco.mj_resetData(self._model, d)
+                d.qpos[:] = qpos[i]
+                d.qvel[:] = qvel[i]
+                mujoco.mj_forward(self._model, d)
+
+            list(self._tp.map(_do_reset, range(self.num_envs)))
+            self._cfrc[:] = 0.0
 
     def reset(self, seed: Optional[int] = None) -> np.ndarray:
         if seed is not None:
