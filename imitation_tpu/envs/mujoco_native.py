@@ -142,6 +142,10 @@ class MujocoLockstepVectorEnv:
             self._tp = ThreadPoolExecutor(max_workers=nthread)
             self._nbody = self._model.nbody
             self._cfrc = np.zeros((num_envs, self._nbody, 6), np.float64)
+            # gymnasium ant_v5 computes dx from body(main_body=1).xpos, which
+            # is the kinematics of the LAST substep's qpos (mj_step integrates
+            # after the forward pass) — not the final qpos. Track it exactly.
+            self._xpos_x = np.zeros(num_envs, np.float64)
         else:
             self._pool = mj_rollout.Rollout(nthread=nthread)
             self._datas = [mujoco.MjData(self._model) for _ in range(nthread)]
@@ -210,6 +214,7 @@ class MujocoLockstepVectorEnv:
                 d.qpos[:] = qpos[i]
                 d.qvel[:] = qvel[i]
                 mujoco.mj_forward(self._model, d)
+                self._xpos_x[i] = d.xpos[1, 0]
 
             list(self._tp.map(_do_reset, range(self.num_envs)))
             self._cfrc[:] = 0.0
@@ -222,19 +227,43 @@ class MujocoLockstepVectorEnv:
 
     def step(self, actions: np.ndarray):
         acts = np.asarray(actions, np.float64)
-        self._ctrl[:] = acts[:, None, :]
-        x_before = self._states[:, 1].copy()
-        self._pool.rollout(
-            self._models,
-            self._datas,
-            self._states,
-            control=self._ctrl,
-            nstep=self._frame_skip,
-            state=self._state_out,
-            skip_checks=True,
+        x_before = (
+            self._xpos_x.copy() if self._has_cfrc
+            else self._states[:, 1].copy()
         )
-        self._states[:] = self._state_out[:, -1, :]
-        x_after = self._states[:, 1]
+        if self._has_cfrc:
+            # Ant path: exact gymnasium _step_mujoco_simulation arithmetic
+            # (mj_step(nstep=frame_skip) then mj_rnePostConstraint) per env,
+            # across GIL-released threads; cfrc_ext captured for obs+reward.
+            mujoco = self._mujoco
+            model = self._model
+            nq, fs = self._nq, self._frame_skip
+
+            def _do_step(i):
+                d = self._env_datas[i]
+                d.ctrl[:] = acts[i]
+                mujoco.mj_step(model, d, nstep=fs)
+                mujoco.mj_rnePostConstraint(model, d)
+                self._states[i, 0] = d.time
+                self._states[i, 1 : 1 + nq] = d.qpos
+                self._states[i, 1 + nq :] = d.qvel
+                self._cfrc[i] = d.cfrc_ext
+                self._xpos_x[i] = d.xpos[1, 0]
+
+            list(self._tp.map(_do_step, range(self.num_envs)))
+        else:
+            self._ctrl[:] = acts[:, None, :]
+            self._pool.rollout(
+                self._models,
+                self._datas,
+                self._states,
+                control=self._ctrl,
+                nstep=self._frame_skip,
+                state=self._state_out,
+                skip_checks=True,
+            )
+            self._states[:] = self._state_out[:, -1, :]
+        x_after = self._xpos_x if self._has_cfrc else self._states[:, 1]
 
         # Gymnasium v5 reward with seals-compat unconditional healthy_reward
         # (registry._make_seals_reward_compat): forward velocity minus
@@ -244,6 +273,11 @@ class MujocoLockstepVectorEnv:
             - self._ctrl_w * np.sum(np.square(acts), axis=1)
             + self._healthy
         )
+        if self._has_cfrc:
+            # gymnasium ant_v5 contact_cost: weight * sum(clipped cfrc_ext^2)
+            # over ALL bodies (world rows are zero, so clipping keeps them 0).
+            cf = np.clip(self._cfrc, self._contact_lo, self._contact_hi)
+            reward -= self._contact_w * np.sum(np.square(cf), axis=(1, 2))
         self._t += 1
         self._ep_ret += reward
 
@@ -268,4 +302,7 @@ class MujocoLockstepVectorEnv:
         )
 
     def close(self):
-        self._pool.close()
+        if self._pool is not None:
+            self._pool.close()
+        if self._has_cfrc:
+            self._tp.shutdown(wait=False)

@@ -76,9 +76,48 @@ def test_reset_noise_distribution():
     assert np.abs(spread).max() > 1e-3  # actually noisy
 
 
-def test_ant_stays_on_bridge():
-    from imitation_tpu.envs.gym_bridge import HostVectorEnv
-
+def test_ant_lockstep_parity_with_gym():
+    """Ant's cfrc path: sync gym's full dynamical state (qpos/qvel AND
+    qacc_warmstart — cfrc_ext is warmstart-sensitive) to lockstep env 1 each
+    step, then compare obs (incl. contact forces) and reward bit-for-bit."""
     venv = make_vec_env("seals/Ant-v1", num_envs=2)
-    assert isinstance(venv, HostVectorEnv)
+    assert isinstance(venv, mujoco_native.MujocoLockstepVectorEnv)
+    assert venv._has_cfrc
+    gym_env = registry.make_env("seals/Ant-v1").make()
+    gym_env.reset(seed=0)
+    raw = gym_env.unwrapped
+
+    rng = np.random.default_rng(11)
+    venv.reset(seed=1)
+    # Sync ONCE at reset, then run both continuously: gymnasium's forward
+    # reward reads the (substep-stale) body xpos, so a per-step teleport
+    # would give gym a fresh baseline our continuously-run env never has.
+    ours = venv._env_datas[1]
+    raw.set_state(ours.qpos.copy(), ours.qvel.copy())
+    raw.data.qacc_warmstart[:] = ours.qacc_warmstart
+    for step in range(5):
+        acts = rng.uniform(-1, 1, size=(2,) + venv.action_space.shape)
+        out = venv.step(acts.astype(np.float32))
+        g_obs, g_rew, g_term, g_trunc, g_info = gym_env.step(
+            acts[1].astype(np.float32)
+        )
+        np.testing.assert_allclose(out["obs"][1], g_obs, rtol=1e-9, atol=1e-9)
+        # our reward is stored float32 — allow one float32 ulp of slack
+        np.testing.assert_allclose(
+            out["reward"][1], g_rew, rtol=1e-6, atol=1e-6
+        )
+        assert not g_term
+    venv.close()
+
+
+def test_ant_reset_zeroes_contact_obs():
+    """Gymnasium resets via mj_forward, which does not recompute cfrc_ext —
+    the first obs of every episode has zero contact forces. Match that."""
+    venv = make_vec_env("seals/Ant-v1", num_envs=2)
+    obs = venv.reset(seed=4)
+    assert (obs[:, 29:] == 0).all()
+    acts = np.ones((2,) + venv.action_space.shape, np.float32) * 0.5
+    for _ in range(10):  # ant falls to the ground within a few frames
+        out = venv.step(acts)
+    assert np.abs(out["obs"][:, 29:]).max() > 0  # contacts after stepping
     venv.close()
