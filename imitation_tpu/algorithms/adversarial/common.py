@@ -116,6 +116,7 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
         reward_net: RewardNet = None,
         policy: Optional[ActorCriticPolicy] = None,
         gen_config: Optional[PPOConfig] = None,
+        demo_minibatch_size: Optional[int] = None,
         n_disc_updates_per_round: int = 2,
         disc_opt_kwargs: Optional[Mapping[str, Any]] = None,
         gen_train_timesteps: Optional[int] = None,
@@ -125,6 +126,11 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
         seed: int = 0,
     ):
         self.demo_batch_size = demo_batch_size
+        self.demo_minibatch_size = demo_minibatch_size or demo_batch_size
+        if self.demo_batch_size % self.demo_minibatch_size != 0:
+            raise ValueError(
+                "demo_batch_size must be divisible by demo_minibatch_size."
+            )
         self.venv = venv
         self.reward_net = reward_net
         self.n_disc_updates_per_round = n_disc_updates_per_round
@@ -252,21 +258,29 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
         policy_variables: Any,
     ) -> Tuple[DiscState, Dict[str, jnp.ndarray]]:
         """One jitted BCE discriminator update on expert+gen half-batches
-        (reference train_disc, common.py:317-389 + batch assembly :521-632)."""
+        (reference train_disc, common.py:317-389 + batch assembly :521-632).
+
+        When ``demo_minibatch_size < demo_batch_size``, gradients are
+        accumulated over ``[expert_mb; gen_mb]`` minibatch slices with the
+        loss renormalized by ``mb / demo_batch_size`` and a single optimizer
+        step taken at the end — the reference's grad-accumulation semantics
+        (common.py:346-372, 584-632), expressed as one ``lax.scan`` so the
+        device never materializes more than one minibatch of activations.
+        """
         key, k_expert, k_gen = jax.random.split(disc_state.key, 3)
         expert = self._demo_store.sample(k_expert, self.demo_batch_size)
         gen = self._gen_replay_buffer.sample(
             gen_buffer_state, k_gen, self.demo_batch_size
         )
+        B = self.demo_batch_size
+        mb = self.demo_minibatch_size
+        k = B // mb
         obs = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), expert.obs, gen.obs)
         acts = jnp.concatenate([expert.acts, gen.acts])
         next_obs = jax.tree.map(
             lambda a, b: jnp.concatenate([a, b]), expert.next_obs, gen.next_obs
         )
         dones = jnp.concatenate([expert.dones, gen.dones])
-        labels = jnp.concatenate(
-            [jnp.ones(self.demo_batch_size), jnp.zeros(self.demo_batch_size)]
-        )
 
         if self.needs_policy_log_prob:
             # log pi(a|s) under the current generator policy, no gradient
@@ -280,16 +294,59 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
         else:
             log_prob = None
 
-        def loss_fn(params):
-            variables = {**disc_state.variables, "params": params}
-            logits = self.logits_expert_is_high(
-                variables, obs, acts, next_obs, dones, log_prob
-            )
-            loss = optax.sigmoid_binary_cross_entropy(logits, labels).mean()
-            return loss, logits
+        # Slice the doubled batch into k minibatches of [expert_mb; gen_mb].
+        def to_mb(x):
+            # [2B, ...] with expert rows first -> [k, 2*mb, ...]
+            e = x[:B].reshape((k, mb) + x.shape[1:])
+            g = x[B:].reshape((k, mb) + x.shape[1:])
+            return jnp.concatenate([e, g], axis=1)
 
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            disc_state.variables["params"]
+        obs_mb = jax.tree.map(to_mb, obs)
+        acts_mb = to_mb(acts)
+        next_obs_mb = jax.tree.map(to_mb, next_obs)
+        dones_mb = to_mb(dones)
+        log_prob_mb = to_mb(log_prob) if log_prob is not None else None
+        labels_mb = jnp.concatenate([jnp.ones(mb), jnp.zeros(mb)])
+        labels = jnp.concatenate([jnp.ones(B), jnp.zeros(B)])
+
+        def minibatch_loss(params, o, a, no, d, lp):
+            variables = {**disc_state.variables, "params": params}
+            logits = self.logits_expert_is_high(variables, o, a, no, d, lp)
+            # Renormalize so the k accumulated grads sum to the full-batch
+            # mean-BCE gradient (reference common.py:366-369).
+            loss = optax.sigmoid_binary_cross_entropy(logits, labels_mb).mean()
+            return loss * (mb / B), logits
+
+        grad_fn = jax.value_and_grad(minibatch_loss, has_aux=True)
+        params0 = disc_state.variables["params"]
+
+        def accum_body(grads_acc, inp):
+            o, a, no, d, lp = inp
+            (loss_i, logits_i), g = grad_fn(params0, o, a, no, d, lp)
+            grads_acc = jax.tree.map(jnp.add, grads_acc, g)
+            return grads_acc, (loss_i, logits_i)
+
+        zero_grads = jax.tree.map(jnp.zeros_like, params0)
+        lp_scan = (
+            log_prob_mb if log_prob_mb is not None
+            else jnp.zeros((k, 2 * mb)) * jnp.nan
+        )
+        if log_prob_mb is None:
+            # Keep the scan signature uniform; GAIL's logit fn ignores lp.
+            def accum_body(grads_acc, inp):  # noqa: F811
+                o, a, no, d, _ = inp
+                (loss_i, logits_i), g = grad_fn(params0, o, a, no, d, None)
+                grads_acc = jax.tree.map(jnp.add, grads_acc, g)
+                return grads_acc, (loss_i, logits_i)
+
+        grads, (losses, logits_k) = jax.lax.scan(
+            accum_body, zero_grads,
+            (obs_mb, acts_mb, next_obs_mb, dones_mb, lp_scan),
+        )
+        loss = losses.sum()  # == full-batch mean BCE
+        # [k, 2mb] -> [2B] reordered to [all expert; all gen] to match labels.
+        logits = jnp.concatenate(
+            [logits_k[:, :mb].reshape(B), logits_k[:, mb:].reshape(B)]
         )
         updates, opt_state = self.disc_optimizer.update(
             grads, disc_state.opt_state, disc_state.variables["params"]

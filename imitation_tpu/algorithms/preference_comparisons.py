@@ -451,6 +451,39 @@ class PreferenceModel:
     def __call__(self, variables, batch: FragmentBatch) -> jnp.ndarray:
         return self.probability_from_rewards(self.fragment_rewards(variables, batch))
 
+    def member_fragment_rewards(self, variables, batch: FragmentBatch) -> jnp.ndarray:
+        """Per-member rewards for per-member (bagged) batches.
+
+        ``batch`` arrays carry a leading member axis — ``obs[m, n, j, t]`` —
+        and member ``m``'s slice is evaluated only by ensemble member ``m``
+        (the TPU form of the reference's dataset bagging, reference
+        preference_comparisons.py:1408-1424: one vmapped forward over
+        (member params, member data) instead of M separate trainers).
+        Returns ``[M, N, 2, L]``.
+        """
+        if not self.is_ensemble:
+            raise TypeError("member_fragment_rewards requires a RewardEnsemble.")
+        member_net = self.model.member_cls(
+            observation_space=self.model.observation_space,
+            action_space=self.model.action_space,
+            **(self.model.member_kwargs or {}),
+        )
+        member_vars = {"params": variables["params"]["members"]}
+        if "stats" in variables:
+            member_vars["stats"] = variables["stats"]["members"]
+
+        def one(mvars, obs, acts, dones):
+            N, _, Lp1 = obs.shape[:3]
+            L = Lp1 - 1
+            flat_steps = N * 2 * L
+            o = obs[:, :, :-1].reshape((flat_steps,) + obs.shape[3:])
+            no = obs[:, :, 1:].reshape((flat_steps,) + obs.shape[3:])
+            a = acts.reshape((flat_steps,) + acts.shape[3:])
+            d = dones.reshape(flat_steps)
+            return member_net.apply(mvars, o, a, no, d).reshape((N, 2, L))
+
+        return jax.vmap(one)(member_vars, batch.obs, batch.acts, batch.dones)
+
 
 # ---------------------------------------------------------------------------
 # Fragmenters
@@ -756,7 +789,13 @@ class LossAndMetrics:
 
 
 class RewardLoss(abc.ABC):
-    """Loss on a preference batch (reference :1013-1035)."""
+    """Loss on a preference batch (reference :1013-1035).
+
+    ``weights`` (optional, ``[N]``) marks real samples (1.0) vs padding
+    (0.0): all means become weighted means. Padding keeps batch shapes
+    static under jit — the TPU replacement for the reference's
+    variable-length trailing minibatches.
+    """
 
     @abc.abstractmethod
     def __call__(
@@ -764,6 +803,7 @@ class RewardLoss(abc.ABC):
         preference_model: PreferenceModel,
         variables: Any,
         batch: FragmentBatch,
+        weights: Optional[jnp.ndarray] = None,
     ) -> LossAndMetrics:
         ...
 
@@ -771,26 +811,34 @@ class RewardLoss(abc.ABC):
 class CrossEntropyRewardLoss(RewardLoss):
     """BCE between predicted and target preferences (reference :1043-1098)."""
 
-    def __call__(self, preference_model, variables, batch) -> LossAndMetrics:
+    def __call__(
+        self, preference_model, variables, batch, weights=None
+    ) -> LossAndMetrics:
         probs = preference_model(variables, batch)  # [(M,) N]
         prefs = batch.prefs
         if probs.ndim == 2:  # ensemble: broadcast targets over members
             prefs = prefs[None, :]
+        if weights is None:
+            w = jnp.ones(batch.prefs.shape[0], batch.prefs.dtype)
+        else:
+            w = weights
+        denom = jnp.maximum(w.sum(), 1e-8)
+        # Weighted mean over the pair axis, then mean over members (if any).
+        wmean = lambda x: ((x * w).sum(axis=-1) / denom).mean()
         probs_c = jnp.clip(probs, 1e-7, 1 - 1e-7)
-        loss = -(
-            prefs * jnp.log(probs_c) + (1 - prefs) * jnp.log(1 - probs_c)
-        ).mean()
-        predictions = probs > 0.5
-        ground_truth = prefs > 0.5
-        accuracy = (predictions == ground_truth).astype(jnp.float32).mean()
+        bce = -(prefs * jnp.log(probs_c) + (1 - prefs) * jnp.log(1 - probs_c))
+        loss = wmean(bce)
+        correct = ((probs > 0.5) == (prefs > 0.5)).astype(jnp.float32)
+        accuracy = wmean(correct)
         # gt_reward_loss: BCE of the preferences implied by ground-truth
         # rewards against the labels (irreducible loss floor, reference :1080-1090).
         gt_probs = preference_model.probability_from_rewards(batch.rews_gt)
         gt_probs_c = jnp.clip(gt_probs, 1e-7, 1 - 1e-7)
         gt_prefs = batch.prefs
-        gt_loss = -(
+        gt_bce = -(
             gt_prefs * jnp.log(gt_probs_c) + (1 - gt_prefs) * jnp.log(1 - gt_probs_c)
-        ).mean()
+        )
+        gt_loss = (gt_bce * w).sum() / denom
         return LossAndMetrics(
             loss=loss,
             metrics={"accuracy": accuracy, "gt_reward_loss": gt_loss},
@@ -872,34 +920,71 @@ class BasicRewardTrainer(RewardTrainer):
     def requires_regularizer_update(self) -> bool:
         return self.regularizer is not None and self.regularizer.val_split is not None
 
-    def _update(self, variables, opt_state, batch: FragmentBatch, lam: jnp.ndarray):
-        def loss_fn(params):
-            v = {**variables, "params": params}
-            out = self.loss(self.preference_model, v, batch)
-            if self.regularizer is not None:
-                total = out.loss + lam * self.regularizer.loss_penalty(params)
-            else:
-                total = out.loss
-            return total, out
+    def _update(
+        self,
+        variables,
+        opt_state,
+        batch: FragmentBatch,
+        weights: jnp.ndarray,
+        lam: jnp.ndarray,
+    ):
+        """One optimizer step on a fixed-shape padded ``batch``.
 
-        (total, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            variables["params"]
-        )
-        updates, opt_state = self.optimizer.update(
-            grads, opt_state, variables["params"]
-        )
-        params = optax.apply_updates(variables["params"], updates)
-        metrics = dict(out.metrics)
-        metrics["loss"] = out.loss
+        ``weights`` marks real samples (1.0) vs padding (0.0). The gradient
+        is ``(1/batch_size) * sum_i w_i * grad(bce_i)`` — the reference's
+        minibatch renormalization (:1253-1282: loss scaled by
+        ``len(minibatch)/batch_size``, incomplete trailing batches giving
+        proportionally smaller gradients) — accumulated over
+        ``minibatch_size`` slices with ``lax.scan`` so the device holds one
+        minibatch of activations at a time. Static shapes mean one compiled
+        program no matter how the preference dataset grows.
+        """
+        n = batch.prefs.shape[0]
+        mb = min(self.minibatch_size, n)
+        k = n // mb
+        params0 = variables["params"]
+
+        def mb_grads(mb_batch, w):
+            def loss_fn(params):
+                v = {**variables, "params": params}
+                out = self.loss(self.preference_model, v, mb_batch, weights=w)
+                # weighted mean -> sum / batch_size (reference scaling)
+                return out.loss * w.sum() / self.batch_size, out
+
+            (_, out), g = jax.value_and_grad(loss_fn, has_aux=True)(params0)
+            return g, out
+
+        batch_k = jax.tree.map(lambda x: x.reshape((k, mb) + x.shape[1:]), batch)
+        w_k = weights.reshape((k, mb))
+
+        def body(acc, xs):
+            mb_batch, w = xs
+            g, out = mb_grads(mb_batch, w)
+            wsum = w.sum()
+            stats = {**out.metrics, "loss": out.loss}
+            stats = jax.tree.map(lambda m: m * wsum, stats)
+            return jax.tree.map(jnp.add, acc, g), stats
+
+        zero = jax.tree.map(jnp.zeros_like, params0)
+        grads, stats_k = jax.lax.scan(body, zero, (batch_k, w_k))
+        if self.regularizer is not None:
+            g_pen = jax.grad(lambda p: lam * self.regularizer.loss_penalty(p))(
+                params0
+            )
+            grads = jax.tree.map(jnp.add, grads, g_pen)
+        total_w = jnp.maximum(weights.sum(), 1e-8)
+        metrics = jax.tree.map(lambda s: s.sum(0) / total_w, stats_k)
+        updates, opt_state = self.optimizer.update(grads, opt_state, params0)
+        params = optax.apply_updates(params0, updates)
         return {**variables, "params": params}, opt_state, metrics
 
     def _eval_loss(self, variables, batch: FragmentBatch) -> float:
         out = self.loss(self.preference_model, variables, batch)
         return float(out.loss)
 
-    def _train(self, dataset: PreferenceDataset, epoch_multiplier: float = 1.0) -> None:
-        if self.variables is None:
-            raise RuntimeError("call .attach(reward_variables) first")
+    def _split_dataset(self, dataset: PreferenceDataset):
+        """Train/val split per the regularizer's val_split (reference
+        :1198-1216). Returns (train_batch, val_batch_or_None)."""
         if self.regularizer is not None and self.regularizer.val_split is not None:
             val_length = int(len(dataset) * self.regularizer.val_split)
             train_length = len(dataset) - val_length
@@ -921,9 +1006,15 @@ class BasicRewardTrainer(RewardTrainer):
         take = lambda idx: jax.tree.map(lambda x: x[jnp.asarray(idx)], full)
         train_batch_all = take(train_idx)
         val_batch = take(val_idx) if val_idx is not None else None
+        return train_batch_all, val_batch
+
+    def _train(self, dataset: PreferenceDataset, epoch_multiplier: float = 1.0) -> None:
+        if self.variables is None:
+            raise RuntimeError("call .attach(reward_variables) first")
+        train_batch_all, val_batch = self._split_dataset(dataset)
 
         epochs = max(1, int(round(self.epochs * epoch_multiplier)))
-        n = len(train_idx)
+        n = int(train_batch_all.prefs.shape[0])
         bs = min(self.batch_size, n)
         lam = jnp.asarray(
             self.regularizer.lambda_ if self.regularizer is not None else 0.0,
@@ -932,11 +1023,19 @@ class BasicRewardTrainer(RewardTrainer):
         last_metrics: Dict[str, float] = {}
         for _ in range(epochs):
             perm = self.rng.permutation(n)
-            for i in range(0, n - bs + 1, bs):
-                idx = jnp.asarray(perm[i : i + bs])
-                mb = jax.tree.map(lambda x: x[idx], train_batch_all)
+            # Every batch (incl. incomplete trailing ones, reference
+            # :1267-1283) is padded to self.batch_size with weight-0 rows:
+            # one static jit shape regardless of dataset size.
+            for i in range(0, n, bs):
+                sel = perm[i : i + bs]
+                w = np.zeros(self.batch_size, np.float32)
+                w[: len(sel)] = 1.0
+                sel = np.concatenate(
+                    [sel, np.zeros(self.batch_size - len(sel), sel.dtype)]
+                )
+                mb = jax.tree.map(lambda x: x[jnp.asarray(sel)], train_batch_all)
                 self.variables, self.opt_state, metrics = self._update_jit(
-                    self.variables, self.opt_state, mb, lam
+                    self.variables, self.opt_state, mb, jnp.asarray(w), lam
                 )
             last_metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
             for k, v in last_metrics.items():
@@ -954,8 +1053,11 @@ class BasicRewardTrainer(RewardTrainer):
 
 
 class EnsembleTrainer(BasicRewardTrainer):
-    """Ensemble trainer with member bagging (reference :1326-1438): each
-    member sees an independent with-replacement resample of every batch."""
+    """Ensemble trainer with member bagging (reference :1326-1438): per
+    ``train`` call, each member draws an independent with-replacement
+    resample of the training set and runs its epochs on that resample.
+    All members still train in one vmapped program (member axis on the MXU)
+    rather than the reference's loop of M separate trainers."""
 
     def __init__(self, preference_model: PreferenceModel, **kwargs):
         if not preference_model.is_ensemble:
@@ -965,30 +1067,115 @@ class EnsembleTrainer(BasicRewardTrainer):
         super().__init__(preference_model, **kwargs)
         self.num_members = preference_model.model.num_members
 
-    def _update(self, variables, opt_state, batch: FragmentBatch, lam: jnp.ndarray):
-        # Bagging: independent bootstrap of the batch per member. We draw the
-        # member-resample indices inside jit from a folded key.
-        def loss_fn(params):
+    def _update(
+        self,
+        variables,
+        opt_state,
+        batch: FragmentBatch,
+        weights: jnp.ndarray,
+        lam: jnp.ndarray,
+    ):
+        """One step on per-member padded batches ``[M, b, ...]``.
+
+        ``weights [M, b]`` marks real vs padding rows. Gradients are
+        accumulated over ``minibatch_size`` slices of the pair axis
+        (reference :1253-1282 semantics, per member)."""
+        b = batch.prefs.shape[1]
+        mb = min(self.minibatch_size, b)
+        params0 = variables["params"]
+
+        def minibatch_loss(params, mb_batch, w):
             v = {**variables, "params": params}
-            probs = self.preference_model(v, batch)  # [M, N]
-            prefs = batch.prefs[None, :]
+            rews = self.preference_model.member_fragment_rewards(v, mb_batch)
+            probs = self.preference_model.probability_from_rewards(rews)  # [M, b]
+            prefs = mb_batch.prefs
             probs_c = jnp.clip(probs, 1e-7, 1 - 1e-7)
-            per_member = -(
+            bce = -(
                 prefs * jnp.log(probs_c) + (1 - prefs) * jnp.log(1 - probs_c)
             )
-            loss = per_member.mean()
-            accuracy = ((probs > 0.5) == (prefs > 0.5)).astype(jnp.float32).mean()
+            denom = jnp.maximum(w.sum(axis=1), 1e-8)  # [M]
+            per_member = (bce * w).sum(axis=1) / denom
+            correct = ((probs > 0.5) == (prefs > 0.5)).astype(jnp.float32)
+            acc_m = (correct * w).sum(axis=1) / denom
             l2 = sum(jnp.sum(jnp.square(p)) for p in jax.tree.leaves(params))
-            return loss + lam * l2, {"accuracy": accuracy, "loss": loss}
+            metrics = {
+                "accuracy": acc_m.mean(),
+                "accuracy_std": acc_m.std(),
+                "loss": per_member.mean(),
+                "loss_std": per_member.std(),
+            }
+            # weighted mean -> sum / batch_size (reference scaling); the l2
+            # penalty's slice fractions sum to exactly 1 per optimizer step.
+            wsum = w.sum() / weights.shape[0]  # real pairs in this slice
+            total = per_member.mean() * wsum / self.batch_size
+            total = total + lam * l2 * (
+                w.sum() / jnp.maximum(weights.sum(), 1e-8)
+            )
+            return total, metrics
 
-        (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            variables["params"]
-        )
-        updates, opt_state = self.optimizer.update(
-            grads, opt_state, variables["params"]
-        )
-        params = optax.apply_updates(variables["params"], updates)
+        grad_fn = jax.value_and_grad(minibatch_loss, has_aux=True)
+        grads = jax.tree.map(jnp.zeros_like, params0)
+        metrics_sum: Dict[str, jnp.ndarray] = {}
+        total_w = 0.0
+        # Python loop over the (static, small) number of slices.
+        for start in range(0, b, mb):
+            sl = jax.tree.map(lambda x: x[:, start : start + mb], batch)
+            w = weights[:, start : start + mb]
+            (_, m), g = grad_fn(params0, sl, w)
+            grads = jax.tree.map(jnp.add, grads, g)
+            wsum = w.sum() / weights.shape[0]
+            total_w = total_w + wsum
+            metrics_sum = {
+                k: metrics_sum.get(k, 0.0) + v * wsum for k, v in m.items()
+            }
+        denom = jnp.maximum(total_w, 1e-8)
+        metrics = {k: v / denom for k, v in metrics_sum.items()}
+        updates, opt_state = self.optimizer.update(grads, opt_state, params0)
+        params = optax.apply_updates(params0, updates)
         return {**variables, "params": params}, opt_state, metrics
+
+    def _train(self, dataset: PreferenceDataset, epoch_multiplier: float = 1.0) -> None:
+        if self.variables is None:
+            raise RuntimeError("call .attach(reward_variables) first")
+        train_batch_all, val_batch = self._split_dataset(dataset)
+        n = int(train_batch_all.prefs.shape[0])
+        M = self.num_members
+        # Dataset-level bagging (reference :1408-1424): one independent
+        # with-replacement resample of the training set per member per call.
+        bag = self.rng.integers(0, n, size=(M, n))
+        epochs = max(1, int(round(self.epochs * epoch_multiplier)))
+        bs = min(self.batch_size, n)
+        lam = jnp.asarray(
+            self.regularizer.lambda_ if self.regularizer is not None else 0.0,
+            jnp.float32,
+        )
+        rows = np.arange(M)[:, None]
+        last_metrics: Dict[str, float] = {}
+        for _ in range(epochs):
+            perms = np.stack([self.rng.permutation(n) for _ in range(M)])
+            for i in range(0, n, bs):
+                sel = bag[rows, perms[:, i : i + bs]]  # [M, b_true]
+                b_true = sel.shape[1]
+                # Pad to [M, self.batch_size] with weight-0 rows: one static
+                # jit shape regardless of dataset size.
+                w = np.zeros((M, self.batch_size), np.float32)
+                w[:, :b_true] = 1.0
+                pad = np.zeros((M, self.batch_size - b_true), sel.dtype)
+                idx = jnp.asarray(np.concatenate([sel, pad], axis=1))
+                mb = jax.tree.map(lambda x: x[idx], train_batch_all)
+                self.variables, self.opt_state, metrics = self._update_jit(
+                    self.variables, self.opt_state, mb, jnp.asarray(w), lam
+                )
+            last_metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            for k, v in last_metrics.items():
+                self.logger.record(k, v)
+        if self.regularizer is not None and val_batch is not None:
+            train_loss = self._eval_loss(self.variables, train_batch_all)
+            val_loss = self._eval_loss(self.variables, val_batch)
+            self.logger.record("val_loss", val_loss)
+            self.regularizer.update_params(train_loss, val_loss)
+        for k, v in last_metrics.items():
+            self.logger.record(f"final/train/{k}", v)
 
 
 def get_base_model(reward_model: RewardNet) -> RewardNet:

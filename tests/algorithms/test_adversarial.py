@@ -135,3 +135,35 @@ def test_gail_improves_cartpole(cartpole_demos):
     )
     trained_ret = np.mean([t.rews.sum() for t in trained])
     assert trained_ret > novice_ret + 15, f"{novice_ret} -> {trained_ret}"
+
+
+@pytest.mark.parametrize("algo_cls", ALGOS)
+def test_disc_minibatch_grad_accum_equivalence(algo_cls, cartpole_demos):
+    """Minibatched disc update == full-batch update under a fixed seed
+    (reference test_adversarial.py:285: gradient accumulation with the loss
+    renormalized by mb/batch must produce the same parameters)."""
+    import optax
+
+    results = []
+    for mb in [None, 16]:
+        trainer = make_trainer(algo_cls, cartpole_demos, demo_minibatch_size=mb)
+        # SGD keeps updates linear in the gradients (see the reward-trainer
+        # equivalence test for why Adam would amplify float noise).
+        trainer.disc_optimizer = optax.sgd(1e-2)
+        trainer.disc_state = trainer.disc_state.replace(
+            opt_state=trainer.disc_optimizer.init(
+                trainer.disc_state.variables["params"]
+            )
+        )
+        trainer.train_gen()
+        trainer.train_disc()
+        results.append(jax.device_get(trainer.disc_state.variables["params"]))
+    flat_full = jax.tree.leaves(results[0])
+    flat_mb = jax.tree.leaves(results[1])
+    for a, b in zip(flat_full, flat_mb):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_disc_minibatch_must_divide_batch(cartpole_demos):
+    with pytest.raises(ValueError, match="divisible"):
+        make_trainer(GAIL, cartpole_demos, demo_minibatch_size=7)

@@ -235,3 +235,111 @@ def test_sac_agent_trainer_pebble_loop(pendulum_trajs):
     result = main.train(total_timesteps=256, total_comparisons=20)
     assert result["reward_loss"] is not None
     assert np.isfinite(result["reward_loss"])
+
+
+def _make_pref_dataset(trajs, num_pairs=16, frag_len=10, seed=0):
+    frag = pc.RandomFragmenter(rng=seed, warning_threshold=0)
+    pairs = frag(trajs, fragment_length=frag_len, num_pairs=num_pairs)
+    gatherer = pc.SyntheticGatherer(rng=np.random.default_rng(seed))
+    ds = pc.PreferenceDataset()
+    ds.push(pairs, gatherer(pairs))
+    return ds
+
+
+def test_reward_trainer_minibatch_grad_accum_equivalence(reward_net, pendulum_trajs):
+    """Minibatched reward-trainer update == full-batch update
+    (reference test_preference_comparisons.py:468 / :1253-1282 semantics)."""
+    import optax
+
+    variables = reward_net.init_variables(jax.random.key(0))
+    ds = _make_pref_dataset(pendulum_trajs)
+    params = []
+    for mb in [None, 2]:
+        model = pc.PreferenceModel(reward_net)
+        trainer = pc.BasicRewardTrainer(
+            model, epochs=2, batch_size=8, minibatch_size=mb, lr=1e-2, rng=0
+        )
+        # SGD keeps parameter updates linear in the gradients, so exact
+        # grad-accumulation equivalence shows up as (near-)exact parameter
+        # equality; Adam's normalization would amplify float noise.
+        trainer.optimizer = optax.sgd(1e-2)
+        trainer.attach(variables)
+        trainer.train(ds)
+        params.append(jax.device_get(trainer.variables["params"]))
+    for a, b in zip(jax.tree.leaves(params[0]), jax.tree.leaves(params[1])):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_reward_trainer_minibatch_must_divide_batch(reward_net):
+    model = pc.PreferenceModel(reward_net)
+    with pytest.raises(ValueError, match="multiple of"):
+        pc.BasicRewardTrainer(model, batch_size=8, minibatch_size=3)
+
+
+def test_reward_trainer_uses_trailing_batch(reward_net, pendulum_trajs):
+    """An incomplete trailing batch still trains (reference :1267-1283:
+    its gradients come out proportionally smaller, not dropped). Batches
+    are padded to a static shape; the weight mask carries the true size."""
+    variables = reward_net.init_variables(jax.random.key(0))
+    ds = _make_pref_dataset(pendulum_trajs, num_pairs=10)
+    model = pc.PreferenceModel(reward_net)
+    trainer = pc.BasicRewardTrainer(model, epochs=1, batch_size=8, rng=0)
+    trainer.attach(variables)
+    calls = []
+    shapes = []
+    orig = trainer._update_jit
+    trainer._update_jit = lambda *a: (
+        calls.append(float(a[3].sum())),
+        shapes.append(a[2].prefs.shape[0]),
+        orig(*a),
+    )[2]
+    trainer.train(ds)
+    assert calls == [8.0, 2.0]  # full batch + trailing remainder
+    assert shapes == [8, 8]  # both padded to one static jit shape
+
+
+def test_ensemble_bagging_diversifies_members(pendulum_trajs):
+    """With identical initial members, bagging (per-member bootstrap of the
+    dataset, reference :1408-1424) must make member parameters diverge after
+    training; training every member on identical batches would keep them
+    bit-identical forever."""
+    venv = make_vec_env("Pendulum-v1", num_envs=2)
+    ens = RewardEnsemble(
+        observation_space=venv.observation_space,
+        action_space=venv.action_space,
+        member_cls=BasicRewardNet,
+        num_members=3,
+    )
+    variables = ens.init_variables(jax.random.key(0))
+    # Force all members to identical initial parameters.
+    variables = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[:1], x.shape).copy(), variables
+    )
+    model = pc.PreferenceModel(ens)
+    trainer = pc.EnsembleTrainer(model, epochs=2, batch_size=8, lr=1e-2, rng=0)
+    trainer.attach(variables)
+    ds = _make_pref_dataset(pendulum_trajs)
+    trainer.train(ds)
+    members = trainer.variables["params"]["members"]
+    diverged = [
+        float(np.abs(np.asarray(leaf[0]) - np.asarray(leaf[1])).max())
+        for leaf in jax.tree.leaves(members)
+    ]
+    assert max(diverged) > 1e-6
+
+
+def test_ensemble_minibatch_grad_accum_no_crash(pendulum_trajs):
+    venv = make_vec_env("Pendulum-v1", num_envs=2)
+    ens = RewardEnsemble(
+        observation_space=venv.observation_space,
+        action_space=venv.action_space,
+        member_cls=BasicRewardNet,
+        num_members=2,
+    )
+    variables = ens.init_variables(jax.random.key(0))
+    model = pc.PreferenceModel(ens)
+    trainer = pc.EnsembleTrainer(
+        model, epochs=1, batch_size=8, minibatch_size=4, rng=0
+    )
+    trainer.attach(variables)
+    trainer.train(_make_pref_dataset(pendulum_trajs))
