@@ -24,7 +24,7 @@ run() {
 }
 
 # -- fast fills: swimmer column unlocked by the new 311-return expert -------
-run bc seals_swimmer 0 900
+# bc seals_swimmer s0 already run directly (305.9)
 run dagger seals_swimmer 0 2400
 run dagger seals_walker2d 0 2400
 # -- extra seeds on cheap cells (>=3 seeds for BC row) ----------------------

@@ -256,9 +256,15 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
         disc_state: DiscState,
         gen_buffer_state: BufferState,
         policy_variables: Any,
+        demo_batch: types.TransitionBatch,
     ) -> Tuple[DiscState, Dict[str, jnp.ndarray]]:
         """One jitted BCE discriminator update on expert+gen half-batches
         (reference train_disc, common.py:317-389 + batch assembly :521-632).
+
+        ``demo_batch`` is a jit ARGUMENT (not a closed-over constant — that
+        would embed the whole demo set in the HLO, which remote TPU
+        backends pay for in lowering-time device fetches and per-dataset
+        recompiles).
 
         When ``demo_minibatch_size < demo_batch_size``, gradients are
         accumulated over ``[expert_mb; gen_mb]`` minibatch slices with the
@@ -268,7 +274,10 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
         device never materializes more than one minibatch of activations.
         """
         key, k_expert, k_gen = jax.random.split(disc_state.key, 3)
-        expert = self._demo_store.sample(k_expert, self.demo_batch_size)
+        e_idx = jax.random.randint(
+            k_expert, (self.demo_batch_size,), 0, demo_batch.batch_size
+        )
+        expert = demo_batch.take(e_idx)
         gen = self._gen_replay_buffer.sample(
             gen_buffer_state, k_gen, self.demo_batch_size
         )
@@ -382,7 +391,10 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
                 "No generator samples for training. Call `train_gen()` first.",
             )
         self.disc_state, stats = self._disc_step_jit(
-            self.disc_state, self._gen_buffer_state, self._current_policy_variables()
+            self.disc_state,
+            self._gen_buffer_state,
+            self._current_policy_variables(),
+            self._demo_store.batch,
         )
         if not sync:
             return stats
@@ -392,6 +404,14 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
         if self.gen_state is None:
             self.gen_state = self.gen_algo.init_state()
         return self.gen_state.variables
+
+    # -- generator warm start ----------------------------------------------
+    def warm_start_generator(self, variables: Any) -> None:
+        """Loads pre-trained policy variables into the generator before
+        training (reference agent_path warm start, ingredients/rl.py:199-231)."""
+        if self.gen_state is None:
+            self.gen_state = self.gen_algo.init_state()
+        self.gen_state = self.gen_state.replace(variables=variables)
 
     # -- generator step ----------------------------------------------------
     def train_gen(
@@ -434,7 +454,7 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
             dones=jnp.zeros((1,)), rews=jnp.zeros((1,)),
         )
 
-    def _round_step(self, carry, _):
+    def _round_step(self, carry, _, demo_batch):
         """One adversarial round, fully traced: generator train step +
         buffer refill + n_disc_updates_per_round discriminator steps."""
         gen_state, disc_state, buffer_state = carry
@@ -445,7 +465,9 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
         buffer_state = self._gen_replay_buffer.store(buffer_state, transitions)
 
         def disc_body(ds, _):
-            ds, stats = self._disc_step(ds, buffer_state, gen_state.variables)
+            ds, stats = self._disc_step(
+                ds, buffer_state, gen_state.variables, demo_batch
+            )
             return ds, stats
 
         disc_state, disc_stats = jax.lax.scan(
@@ -479,15 +501,16 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
                 self._example_transitions()
             )
 
-        @functools.partial(jax.jit, static_argnums=(1,))
-        def run_rounds(carry, k):
-            return jax.lax.scan(self._round_step, carry, None, length=k)
+        @functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
+        def run_rounds(carry, k, demo_batch):
+            step = lambda c, x: self._round_step(c, x, demo_batch)
+            return jax.lax.scan(step, carry, None, length=k)
 
         carry = (self.gen_state, self.disc_state, self._gen_buffer_state)
         done_rounds = 0
         while done_rounds < n_rounds:
             k = min(rounds_per_sync, n_rounds - done_rounds)
-            carry, metrics = run_rounds(carry, k)
+            carry, metrics = run_rounds(carry, k, self._demo_store.batch)
             done_rounds += k
             host = {k2: float(np.asarray(v).mean()) for k2, v in jax.device_get(metrics).items()}
             for k2, v in host.items():

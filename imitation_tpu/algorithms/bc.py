@@ -153,11 +153,9 @@ class BC(base.DemonstrationAlgorithm):
     # -- demonstrations ----------------------------------------------------
     def set_demonstrations(self, demonstrations: base.AnyDemonstrations) -> None:
         self._demo_store = base.DemonstrationStore.from_demonstrations(demonstrations)
-        # Cached epoch programs bake the demo batch in as constants — drop
-        # them so new demonstrations take effect (DAgger replaces demos every
-        # round).
-        if getattr(self, "_epoch_fn_cache", None):
-            self._epoch_fn_cache.clear()
+        # Demos are jit arguments (not baked-in constants), so cached epoch
+        # programs stay valid across demo swaps; jit recompiles only if the
+        # demo SHAPES change (DAgger growing its dataset each round).
 
     @property
     def policy(self) -> ActorCriticPolicy:
@@ -169,44 +167,53 @@ class BC(base.DemonstrationAlgorithm):
 
     # -- training ----------------------------------------------------------
     def _make_epoch_fn(self, n_batches_in_call: int):
-        """Jitted scan over ``n_batches_in_call`` minibatches of indices."""
+        """Jitted scan over ``n_batches_in_call`` minibatches of indices.
+
+        The demonstration batch is a jit ARGUMENT, not a closed-over
+        constant: embedding device arrays as constants forces lowering to
+        fetch them to host and ship them inside the HLO (slow on remote
+        TPU backends) and recompiles whenever demos change.
+        """
         n_micro = self.batch_size // self.minibatch_size
         grad_fn = jax.value_and_grad(self.loss_fn, has_aux=True)
-        demo = self._demo_store.batch
 
-        def batch_step(carry, idx_row):
-            variables, opt_state = carry
-            params = variables["params"]
-            extra = {k: v for k, v in variables.items() if k != "params"}
-            mb = demo.take(idx_row)  # [batch_size, ...]
+        def epoch_fn(state: BCState, idx: jnp.ndarray, demo):
+            def batch_step(carry, idx_row):
+                variables, opt_state = carry
+                params = variables["params"]
+                extra = {k: v for k, v in variables.items() if k != "params"}
+                mb = demo.take(idx_row)  # [batch_size, ...]
 
-            if n_micro == 1:
-                (loss, metrics), grads = grad_fn(params, extra, mb.obs, mb.acts)
-            else:
-                micro = jax.tree.map(
-                    lambda x: x.reshape((n_micro, self.minibatch_size) + x.shape[1:]),
-                    (mb.obs, mb.acts),
-                )
+                if n_micro == 1:
+                    (loss, metrics), grads = grad_fn(params, extra, mb.obs, mb.acts)
+                else:
+                    micro = jax.tree.map(
+                        lambda x: x.reshape(
+                            (n_micro, self.minibatch_size) + x.shape[1:]
+                        ),
+                        (mb.obs, mb.acts),
+                    )
 
-                def micro_step(acc, xs):
-                    o, a = xs
-                    (loss, metrics), grads = grad_fn(params, extra, o, a)
-                    acc_g, acc_m = acc
-                    acc_g = jax.tree.map(jnp.add, acc_g, grads)
-                    acc_m = jax.tree.map(jnp.add, acc_m, metrics)
-                    return (acc_g, acc_m), None
+                    def micro_step(acc, xs):
+                        o, a = xs
+                        (loss, metrics), grads = grad_fn(params, extra, o, a)
+                        acc_g, acc_m = acc
+                        acc_g = jax.tree.map(jnp.add, acc_g, grads)
+                        acc_m = jax.tree.map(jnp.add, acc_m, metrics)
+                        return (acc_g, acc_m), None
 
-                zero_g = jax.tree.map(jnp.zeros_like, params)
-                zero_m = BCTrainingMetrics(*([jnp.zeros(())] * 7))
-                (sum_g, sum_m), _ = jax.lax.scan(micro_step, (zero_g, zero_m), micro)
-                grads = jax.tree.map(lambda g: g / n_micro, sum_g)
-                metrics = jax.tree.map(lambda m: m / n_micro, sum_m)
+                    zero_g = jax.tree.map(jnp.zeros_like, params)
+                    zero_m = BCTrainingMetrics(*([jnp.zeros(())] * 7))
+                    (sum_g, sum_m), _ = jax.lax.scan(
+                        micro_step, (zero_g, zero_m), micro
+                    )
+                    grads = jax.tree.map(lambda g: g / n_micro, sum_g)
+                    metrics = jax.tree.map(lambda m: m / n_micro, sum_m)
 
-            updates, opt_state = self.optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return ({**extra, "params": params}, opt_state), metrics
+                updates, opt_state = self.optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return ({**extra, "params": params}, opt_state), metrics
 
-        def epoch_fn(state: BCState, idx: jnp.ndarray):
             (variables, opt_state), metrics = jax.lax.scan(
                 batch_step, (state.variables, state.opt_state), idx
             )
@@ -259,7 +266,7 @@ class BC(base.DemonstrationAlgorithm):
             epoch_fn = self._epoch_fn_cache.setdefault(
                 n_call, self._make_epoch_fn(n_call)
             )
-            self.state, metrics = epoch_fn(self.state, idx)
+            self.state, metrics = epoch_fn(self.state, idx, self._demo_store.batch)
             metrics_host = jax.device_get(metrics)
             # Log per log_interval batches (last batch in window, like reference).
             total_batches = int(self.state.num_batches)

@@ -39,7 +39,22 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         "n_epochs": 5,
         "learning_rate": 3e-4,
         "ent_coef": 0.0,
+        # reference tuned-HP surface (rl_kwargs in config/tuned_hps/*.json)
+        "gamma": 0.99,
+        "gae_lambda": 0.95,
+        "clip_range": 0.2,
+        "vf_coef": 0.5,
+        "max_grad_norm": 0.5,
     },
+    # FeedForward32Policy + NormalizeFeaturesExtractor is the reference's
+    # tuned benchmark policy (config/tuned_hps/*: policy_kwargs).
+    "policy": {"hid_sizes": [32, 32], "normalize_features": False},
+    # normalize_input_layer=RunningNorm in the reference's tuned configs
+    # (reward.net_kwargs.normalize_input_layer).
+    "reward": {"normalize_input": False},
+    # Warm-start: path to a saved generator policy dir (reference
+    # ingredients/rl.py:199-231 agent_path).
+    "agent_path": None,
 }
 
 ex = Experiment("train_adversarial", DEFAULT_CONFIG)
@@ -55,6 +70,9 @@ ex.named_config("fast", {
 
 
 def _train(algo_cls, config: Dict[str, Any], run_dir: str, logger) -> Dict[str, Any]:
+    from imitation_tpu.models.policies import ActorCriticPolicy
+    from imitation_tpu.rewards.reward_nets import BasicRewardNet, BasicShapedRewardNet
+
     venv = ingredients.make_venv_from_config(config)
     demos = ingredients.get_expert_trajectories(config, venv)
     rl_cfg = config["rl"]
@@ -65,16 +83,42 @@ def _train(algo_cls, config: Dict[str, Any], run_dir: str, logger) -> Dict[str, 
         n_epochs=rl_cfg["n_epochs"],
         learning_rate=rl_cfg["learning_rate"],
         ent_coef=rl_cfg["ent_coef"],
+        gamma=rl_cfg.get("gamma", 0.99),
+        gae_lambda=rl_cfg.get("gae_lambda", 0.95),
+        clip_range=rl_cfg.get("clip_range", 0.2),
+        vf_coef=rl_cfg.get("vf_coef", 0.5),
+        max_grad_norm=rl_cfg.get("max_grad_norm", 0.5),
+    )
+    pol_cfg = config.get("policy", {})
+    policy = ActorCriticPolicy(
+        observation_space=venv.observation_space,
+        action_space=venv.action_space,
+        hid_sizes=tuple(pol_cfg.get("hid_sizes", (32, 32))),
+        normalize_features=pol_cfg.get("normalize_features", False),
+    )
+    rew_cfg = config.get("reward", {})
+    net_cls = BasicRewardNet if algo_cls is GAIL else BasicShapedRewardNet
+    reward_net = net_cls(
+        observation_space=venv.observation_space,
+        action_space=venv.action_space,
+        normalize_input=rew_cfg.get("normalize_input", False),
     )
     trainer = algo_cls(
         demonstrations=demos,
         venv=venv,
         gen_config=gen_config,
+        policy=policy,
+        reward_net=reward_net,
         custom_logger=logger,
         allow_variable_horizon=config.get("allow_variable_horizon", True),
         seed=config["seed"],
         **config["algorithm_kwargs"],
     )
+    if config.get("agent_path"):
+        # Warm-start the generator from a saved policy checkpoint
+        # (reference ingredients/rl.py:199-231).
+        _, variables = policy_serialize.load_policy_from_path(config["agent_path"])
+        trainer.warm_start_generator(variables)
 
     def save_checkpoint(tag: str):
         # reference train_adversarial.py:25-35: reward_train/reward_test/gen_policy

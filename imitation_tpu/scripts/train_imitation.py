@@ -40,7 +40,12 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         "total_timesteps": 4000,
         "rollout_round_min_episodes": 3,
         "rollout_round_min_timesteps": 500,
+        # beta_schedule: "linear" (LinearBetaSchedule(rampdown_rounds)) or
+        # "exponential" (ExponentialBetaSchedule(decay_probability)) —
+        # reference dagger.py:28-96 / tuned_hps dagger_*.json.
+        "beta_schedule": "linear",
         "rampdown_rounds": 15,
+        "decay_probability": 0.7,
     },
     "sqil": {
         "total_timesteps": 10_000,
@@ -105,15 +110,36 @@ def dagger_cmd(config: Dict[str, Any], run_dir: str, logger) -> Dict[str, Any]:
     venv = ingredients.make_venv_from_config(config)
     expert_apply, expert_params = ingredients.load_expert_policy(config, venv)
     d_cfg = config["dagger"]
-    from imitation_tpu.algorithms.dagger import LinearBetaSchedule
+    from imitation_tpu.algorithms.dagger import (
+        ExponentialBetaSchedule,
+        LinearBetaSchedule,
+    )
 
+    if d_cfg.get("beta_schedule", "linear") == "exponential":
+        schedule = ExponentialBetaSchedule(d_cfg.get("decay_probability", 0.7))
+    else:
+        schedule = LinearBetaSchedule(d_cfg["rampdown_rounds"])
+    bc_cfg = config["bc"]
+    bc_trainer = BC(
+        observation_space=venv.observation_space,
+        action_space=venv.action_space,
+        rng=config["seed"],
+        batch_size=bc_cfg["batch_size"],
+        minibatch_size=bc_cfg["minibatch_size"],
+        ent_weight=bc_cfg["ent_weight"],
+        l2_weight=bc_cfg["l2_weight"],
+        optimizer_kwargs={"lr": bc_cfg["learning_rate"]},
+        custom_logger=logger,
+        allow_variable_horizon=True,
+    )
     trainer = SimpleDAggerTrainer(
         venv=venv,
         scratch_dir=os.path.join(run_dir, "scratch"),
         expert_policy_apply=expert_apply,
         expert_params=expert_params,
         rng=config["seed"],
-        beta_schedule=LinearBetaSchedule(d_cfg["rampdown_rounds"]),
+        beta_schedule=schedule,
+        bc_trainer=bc_trainer,
         custom_logger=logger,
     )
     trainer.train(

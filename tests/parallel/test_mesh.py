@@ -64,6 +64,8 @@ def test_sharded_gail_round_runs():
         transitions = jax.jit(chunk_to_transitions)(chunk)
         buf = trainer._gen_replay_buffer.init_state(transitions)
         buf = jax.jit(trainer._gen_replay_buffer.store)(buf, transitions)
-        disc_state, stats = trainer._disc_step_jit(disc_state, buf, gen_state.variables)
+        disc_state, stats = trainer._disc_step_jit(
+            disc_state, buf, gen_state.variables, trainer._demo_store.batch
+        )
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(stats["disc_loss"]))
