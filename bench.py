@@ -5,19 +5,33 @@ jit-vectorized rollout of N lockstep envs + learned-reward relabeling + GAE +
 minibatched PPO updates, followed by discriminator updates — all on one chip.
 
 The reference (HumanCompatibleAI/imitation, SB3+PyTorch) never published
-throughput (BASELINE.md). ``SB3_REFERENCE_STEPS_PER_S`` is the measured-class
-figure for the reference stack: SB3 PPO+GAIL with 8 SubprocVecEnv CartPole
-workers on a CPU host sustains roughly 4k env-steps/s including
-discriminator updates (same order as SB3's published benchmarks).
-``vs_baseline`` is our steps/s divided by that.
+throughput (BASELINE.md). The baseline divisor is MEASURED on this host by
+``benchmarking/sb3_class_baseline.py`` (torch-CPU per-step GAIL-class loop
+reproducing the reference's execution shape; cached in
+``output/bench_baseline.json``). If no measurement exists yet, it is taken
+now; ``FALLBACK_ESTIMATE_STEPS_PER_S`` is used only if that fails.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
-SB3_REFERENCE_STEPS_PER_S = 4000.0
+FALLBACK_ESTIMATE_STEPS_PER_S = 4000.0
+
+
+def baseline_steps_per_s() -> float:
+    path = os.path.join("output", "bench_baseline.json")
+    try:
+        if not os.path.exists(path):
+            from benchmarking.sb3_class_baseline import main as measure_main
+
+            measure_main()
+        with open(path) as f:
+            return float(json.load(f)["steps_per_s"])
+    except Exception:
+        return FALLBACK_ESTIMATE_STEPS_PER_S
 
 
 def main():
@@ -66,13 +80,15 @@ def main():
     # slower on the tunneled single chip than async-dispatched per-round
     # programs, so the timed loop uses the per-round path.)
     one_round()
-    jax.block_until_ready(trainer.gen_state.variables)
+    jax.block_until_ready((trainer.gen_state.variables, trainer.disc_state.variables))
 
     n_rounds = 10
     t0 = time.perf_counter()
     for _ in range(n_rounds):
         one_round()
-    jax.block_until_ready(trainer.gen_state.variables)
+    # Block on BOTH chains: generator variables and the final round's disc
+    # updates, so the last disc programs are inside the timed window.
+    jax.block_until_ready((trainer.gen_state.variables, trainer.disc_state.variables))
     elapsed = time.perf_counter() - t0
 
     steps = n_rounds * n_steps * num_envs
@@ -83,7 +99,7 @@ def main():
                 "metric": "GAIL env-steps/s/chip (rollout+relabel+PPO+disc, CartPole, 1024 envs)",
                 "value": round(steps_per_s, 1),
                 "unit": "env-steps/s",
-                "vs_baseline": round(steps_per_s / SB3_REFERENCE_STEPS_PER_S, 2),
+                "vs_baseline": round(steps_per_s / baseline_steps_per_s(), 2),
             }
         )
     )

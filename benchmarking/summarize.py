@@ -113,20 +113,32 @@ def parity_markdown(
         with open(experts_path) as f:
             experts = json.load(f)
     lines = [
-        "| Algo / Env | Return (mean over seeds) | Expert (ours) | Reference |",
-        "|---|---|---|---|",
+        "| Algo / Env | seeds | mean | std | IQM [95% CI] | Expert (ours) | Reference |",
+        "|---|---|---|---|---|---|---|",
     ]
     for key in sorted(results):
-        returns = [e["return"] for e in results[key]]
+        # Latest entry per seed (reruns supersede earlier results).
+        by_seed: Dict[int, dict] = {}
+        for e in results[key]:
+            s = e.get("seed", 0)
+            if s not in by_seed or e.get("ts", 0) >= by_seed[s].get("ts", 0):
+                by_seed[s] = e
+        returns = np.asarray([by_seed[s]["return"] for s in sorted(by_seed)])
         env_key = key.split("/", 1)[1]
         exp = experts.get(env_key)
         ref = _REFERENCE_RETURNS.get(key)
-        mean = f"{np.mean(returns):.1f}"
-        if len(returns) > 1:
-            mean += f" (n={len(returns)})"
+        if len(returns) >= 2:
+            lo, hi = bootstrap_ci(returns)
+            iqm_s = f"{iqm(returns):.1f} [{lo:.1f}, {hi:.1f}]"
+            std_s = f"{returns.std():.1f}"
+        else:
+            iqm_s, std_s = "—", "—"
         exp_s = f"{exp:.1f}" if exp is not None else "—"
         ref_s = f"{ref:.2f}" if ref is not None else "—"
-        lines.append(f"| {key} | {mean} | {exp_s} | {ref_s} |")
+        lines.append(
+            f"| {key} | {len(returns)} | {returns.mean():.1f} | {std_s} | "
+            f"{iqm_s} | {exp_s} | {ref_s} |"
+        )
     return "\n".join(lines)
 
 

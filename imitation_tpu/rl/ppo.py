@@ -50,7 +50,10 @@ class PPOConfig:
     normalize_advantage: bool = True
     normalize_rewards: bool = False  # VecNormalize(norm_reward) equivalent
     reward_clip: float = 10.0
-    target_kl: Optional[float] = None  # recorded, not used for early stop (static loop)
+    # SB3 semantics: once a minibatch's approx_kl exceeds 1.5*target_kl, no
+    # further updates are applied this iteration (the loop stays static
+    # under jit; late minibatches become masked no-ops).
+    target_kl: Optional[float] = None
 
 
 class PPO:
@@ -328,31 +331,52 @@ class PPO:
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
         def epoch_step(carry, ep_key):
-            params, opt_state = carry
+            params, opt_state, cont = carry
             perm = jax.random.permutation(ep_key, T * B)
             shuffled = jax.tree.map(
                 lambda x: x[perm].reshape((n_mb, mb_size) + x.shape[1:]), batch
             )
 
             def mb_step(carry, mb):
-                params, opt_state = carry
+                params, opt_state, cont = carry
                 (loss, aux), grads = grad_fn(params, mb)
-                updates, opt_state = self.optimizer.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
+                updates, new_opt_state = self.optimizer.update(
+                    grads, opt_state, params
+                )
+                new_params = optax.apply_updates(params, updates)
+                if cfg.target_kl is not None:
+                    # SB3 ppo.py early stop: the minibatch whose approx_kl
+                    # exceeds 1.5*target_kl is NOT applied, nor is anything
+                    # after it this train_step (static loop; masked select).
+                    exceeded = aux["approx_kl"] > 1.5 * cfg.target_kl
+                    use = jnp.logical_and(cont, jnp.logical_not(exceeded))
+                    pick = lambda n, o: jax.tree.map(
+                        lambda a, b: jnp.where(use, a, b), n, o
+                    )
+                    params = pick(new_params, params)
+                    opt_state = pick(new_opt_state, opt_state)
+                    cont = use
+                else:
+                    params, opt_state = new_params, new_opt_state
                 aux["loss"] = loss
                 aux["grad_norm"] = common.global_norm(grads)
-                return (params, opt_state), aux
+                return (params, opt_state, cont), aux
 
-            (params, opt_state), auxs = jax.lax.scan(mb_step, (params, opt_state), shuffled)
-            return (params, opt_state), auxs
+            (params, opt_state, cont), auxs = jax.lax.scan(
+                mb_step, (params, opt_state, cont), shuffled
+            )
+            return (params, opt_state, cont), auxs
 
         ep_keys = jax.random.split(k_perm, cfg.n_epochs)
         params = state.variables["params"]
-        (params, opt_state), auxs = jax.lax.scan(
-            epoch_step, (params, state.opt_state), ep_keys
+        cont0 = jnp.asarray(True)
+        (params, opt_state, cont), auxs = jax.lax.scan(
+            epoch_step, (params, state.opt_state, cont0), ep_keys
         )
 
         metrics = {k: v.mean() for k, v in auxs.items()}
+        if cfg.target_kl is not None:
+            metrics["early_stop"] = 1.0 - cont.astype(jnp.float32)
         metrics["explained_variance"] = common.explained_variance(
             batch["old_value"], batch["returns"]
         )

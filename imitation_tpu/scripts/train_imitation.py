@@ -27,6 +27,9 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     "log_format_strs": ["stdout", "csv", "json"],
     "demonstrations": {"source": "generated", "n_expert_demos": 10, "path": None},
     "expert": {"policy_type": "scripted", "loader_kwargs": {}},
+    # Warm-start: dir of a saved policy to initialize the learner from
+    # (reference ingredients/bc.py:63-83 agent_path).
+    "agent_path": None,
     "bc": {
         "batch_size": 32,
         "minibatch_size": None,
@@ -100,6 +103,13 @@ def bc_cmd(config: Dict[str, Any], run_dir: str, logger) -> Dict[str, Any]:
         custom_logger=logger,
         allow_variable_horizon=True,
     )
+    if config.get("agent_path"):
+        import dataclasses
+
+        from imitation_tpu.policies import serialize as policy_serialize
+
+        _, warm_vars = policy_serialize.load_policy_from_path(config["agent_path"])
+        bc.state = dataclasses.replace(bc.state, variables=warm_vars)
     bc.train(n_epochs=bc_cfg["n_epochs"], n_batches=bc_cfg["n_batches"])
     bc.save_policy(os.path.join(run_dir, "policies", "final"))
     return _finish(bc.policy.sample_fn(), bc.state.variables, venv, config, logger)

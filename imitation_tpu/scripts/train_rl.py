@@ -53,6 +53,9 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     "rollout_save_n_episodes": 20,
     "policy_save_interval": 10_000,
     "policy_save_final": True,
+    # Warm-start: dir of a saved policy to continue training from
+    # (reference ingredients/rl.py:199-231 agent_path).
+    "agent_path": None,
 }
 
 ex = Experiment("train_rl", DEFAULT_CONFIG)
@@ -128,6 +131,11 @@ def train_rl(config: Dict[str, Any], run_dir: str, logger) -> Dict[str, Any]:
             seed=config["seed"],
         )
         state = ppo.init_state()
+        if config.get("agent_path"):
+            _, warm_vars = policy_serialize.load_policy_from_path(
+                config["agent_path"]
+            )
+            state = state.replace(variables=warm_vars)
         callback = None
         if config["policy_save_interval"] > 0:
             callback = policy_serialize.SavePolicyCallback(

@@ -137,3 +137,27 @@ def test_obs_normalization_stats_update():
     count = int(state.variables["stats"]["feat_norm"]["count"])
     assert count == count0 + 3 * 32 * 4
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_target_kl_early_stop_triggers():
+    """A tiny target_kl halts updates (SB3 semantics: stop once a
+    minibatch's approx_kl exceeds 1.5*target_kl)."""
+    ppo = make_ppo(target_kl=1e-9, learning_rate=0.05)
+    state = ppo.init_state()
+    state, metrics = ppo._train_step_jit(state)
+    assert float(metrics["early_stop"]) == 1.0
+
+
+def test_target_kl_loose_matches_disabled():
+    """A huge target_kl never triggers: parameters match the
+    target_kl=None path exactly under the same seed."""
+    outs = []
+    for tk in [None, 1e6]:
+        ppo = make_ppo(target_kl=tk)
+        state = ppo.init_state()
+        state, metrics = ppo._train_step_jit(state)
+        outs.append(jax.device_get(state.variables["params"]))
+        if tk is not None:
+            assert float(metrics["early_stop"]) == 0.0
+    for a, b in zip(jax.tree.leaves(outs[0]), jax.tree.leaves(outs[1])):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)

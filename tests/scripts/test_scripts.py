@@ -131,3 +131,46 @@ def test_convert_trajs_roundtrip(tmp_path):
 def test_unknown_named_config_raises():
     with pytest.raises(KeyError, match="unknown named config"):
         train_rl.ex.run_cli(["with", "nonexistent_config"])
+
+
+def test_train_rl_warm_start(tmp_path):
+    """agent_path continues PPO training from a saved policy
+    (reference ingredients/rl.py:199-231; test_scripts.py warm-start runs)."""
+    train_rl.ex.run_cli(["with", "fast", f"log_root={tmp_path / 'a'}"])
+    policy_dir = _latest_run_dir(tmp_path / "a") / "policies" / "final"
+    result = train_rl.ex.run_cli([
+        "with", "fast", f"log_root={tmp_path / 'b'}",
+        f"agent_path={policy_dir}",
+    ])
+    assert np.isfinite(result["return_mean"])
+
+
+def test_train_bc_warm_start(tmp_path):
+    """agent_path initializes the BC policy (reference ingredients/bc.py:63-83)."""
+    train_rl.ex.run_cli(["with", "fast", f"log_root={tmp_path / 'a'}"])
+    policy_dir = _latest_run_dir(tmp_path / "a") / "policies" / "final"
+    result = train_imitation.ex.run_cli([
+        "bc", "with", "fast", f"log_root={tmp_path / 'b'}",
+        f"agent_path={policy_dir}",
+    ])
+    assert np.isfinite(result["imit_stats"]["return_mean"])
+
+
+def test_train_adversarial_warm_start(tmp_path):
+    """agent_path warm-starts the GAIL generator."""
+    train_rl.ex.run_cli(["with", "fast", f"log_root={tmp_path / 'a'}"])
+    policy_dir = _latest_run_dir(tmp_path / "a") / "policies" / "final"
+    result = train_adversarial.ex.run_cli([
+        "gail", "with", "fast", f"log_root={tmp_path / 'b'}",
+        f"agent_path={policy_dir}",
+    ])
+    assert np.isfinite(result["imit_stats"]["return_mean"])
+
+
+def test_train_rl_sac_fast(tmp_path):
+    """SAC variant end-to-end (reference test_scripts.py SAC runs)."""
+    result = train_rl.ex.run_cli([
+        "with", "sac", "fast", "env_name=Pendulum-v1",
+        "total_timesteps=512", f"log_root={tmp_path}",
+    ])
+    assert np.isfinite(result["return_mean"])
