@@ -864,12 +864,18 @@ class RewardTrainer(abc.ABC):
     def logger(self, value: HierarchicalLogger) -> None:
         self._logger = value
 
-    def train(self, dataset: PreferenceDataset, epoch_multiplier: float = 1.0) -> None:
+    def train(
+        self, dataset: PreferenceDataset, epoch_multiplier: float = 1.0
+    ) -> Dict[str, float]:
+        """Trains and returns the final-epoch train metrics (loss/accuracy/...)
+        so callers need not scrape logger internals."""
         with self.logger.accumulate_means("reward"):
-            self._train(dataset, epoch_multiplier)
+            return self._train(dataset, epoch_multiplier) or {}
 
     @abc.abstractmethod
-    def _train(self, dataset: PreferenceDataset, epoch_multiplier: float) -> None:
+    def _train(
+        self, dataset: PreferenceDataset, epoch_multiplier: float
+    ) -> Dict[str, float]:
         ...
 
 
@@ -1050,6 +1056,7 @@ class BasicRewardTrainer(RewardTrainer):
         # final metrics under reward/final/train (reference train loop reads these)
         for k, v in last_metrics.items():
             self.logger.record(f"final/train/{k}", v)
+        return last_metrics
 
 
 class EnsembleTrainer(BasicRewardTrainer):
@@ -1176,6 +1183,7 @@ class EnsembleTrainer(BasicRewardTrainer):
             self.regularizer.update_params(train_loss, val_loss)
         for k, v in last_metrics.items():
             self.logger.record(f"final/train/{k}", v)
+        return last_metrics
 
 
 def get_base_model(reward_model: RewardNet) -> RewardNet:
@@ -1321,14 +1329,12 @@ class PreferenceComparisons(base.BaseImitationAlgorithm):
             epoch_multiplier = (
                 self.initial_epoch_multiplier if i == 0 else 1.0
             )
-            self.reward_trainer.train(
+            train_metrics = self.reward_trainer.train(
                 self.dataset, epoch_multiplier=epoch_multiplier
             )
             self.reward_variables = self.reward_trainer.variables
-            mean_vals = self.logger.default_logger.name_to_value
-            base_key = "mean/reward/final/train"
-            reward_loss = mean_vals.get(f"{base_key}/loss")
-            reward_accuracy = mean_vals.get(f"{base_key}/accuracy")
+            reward_loss = train_metrics.get("loss")
+            reward_accuracy = train_metrics.get("accuracy")
 
             # Train the agent on the fresh reward.
             num_steps = timesteps_per_iteration

@@ -196,6 +196,10 @@ class Trajectory:
     def __post_init__(self):
         object.__setattr__(self, "acts", np.asarray(self.acts))
         object.__setattr__(self, "obs", maybe_wrap_in_dictobs(self.obs))
+        if len(self.acts) == 0:
+            raise ValueError(
+                "Degenerate trajectory: must have at least one action."
+            )
         if _obs_len(self.obs) != len(self.acts) + 1:
             raise ValueError(
                 "expected one more observation than actions: "
@@ -358,6 +362,11 @@ class Transitions(TransitionsMinimal):
                 raise ValueError(
                     "obs and next_obs must have the same shape: "
                     f"{self.obs.shape} != {self.next_obs.shape}",
+                )
+            if self.obs.dtype != self.next_obs.dtype:
+                raise ValueError(
+                    "obs and next_obs must have the same dtype: "
+                    f"{self.obs.dtype} != {self.next_obs.dtype}",
                 )
         if self.dones.shape != (len(self.acts),):
             raise ValueError(

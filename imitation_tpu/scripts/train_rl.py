@@ -96,6 +96,15 @@ def train_rl(config: Dict[str, Any], run_dir: str, logger) -> Dict[str, Any]:
         def reward_fn(params, obs, acts, next_obs, dones):
             return net.apply(variables, obs, acts, next_obs, dones, method=method)
 
+        if config["normalize_reward"] and config["reward_type"] == "RewardNet_normalized":
+            import warnings
+
+            warnings.warn(
+                "Applying normalization to already normalized reward function. "
+                "Consider setting normalize_reward as False",
+                RuntimeWarning,
+            )
+
     if rl_cfg.get("algo", "ppo") == "sac":
         sac = SAC(
             venv,
@@ -126,6 +135,9 @@ def train_rl(config: Dict[str, Any], run_dir: str, logger) -> Dict[str, Any]:
                 ent_coef=rl_cfg.get("ent_coef", 0.0),
                 gamma=rl_cfg.get("gamma", 0.99),
                 gae_lambda=rl_cfg.get("gae_lambda", 0.95),
+                # VecNormalize(norm_reward) equivalent (reference
+                # train_rl.py:117-127).
+                normalize_rewards=config["normalize_reward"],
             ),
             reward_fn=reward_fn,
             seed=config["seed"],

@@ -198,3 +198,163 @@ def test_collate_fn():
     out = types.transitions_collate_fn(batch)
     assert out["obs"].shape == (2, 3)
     assert isinstance(out["infos"], list)
+
+
+def make_transitions(n=6, obs_dim=3, cls=None, **over):
+    cls = cls or types.TransitionsWithRew
+    obs = np.arange(n * obs_dim, dtype=np.float32).reshape(n, obs_dim)
+    kw = dict(
+        obs=obs,
+        acts=np.ones((n, 2), np.float32),
+        infos=np.array([{}] * n),
+    )
+    if cls is not types.TransitionsMinimal:
+        kw.update(
+            next_obs=obs + 1.0,
+            dones=np.zeros(n, dtype=bool),
+        )
+    if cls is types.TransitionsWithRew:
+        kw["rews"] = np.arange(n, dtype=np.float32)
+    kw.update(over)
+    return cls(**kw)
+
+
+class TestInvalidInputs:
+    """Error-path parity with reference tests/data/test_types.py:276-407."""
+
+    def test_zero_length_trajectory_fails(self):
+        # reference test_zero_length_fails (:409-414)
+        with pytest.raises(ValueError, match="Degenerate trajectory"):
+            types.Trajectory(
+                obs=np.ones((1, 2), np.float32),
+                acts=np.zeros((0, 1), np.float32),
+                infos=None,
+                terminal=True,
+            )
+
+    def test_missing_obs_raises(self):
+        t = make_traj()
+        with pytest.raises(ValueError, match="one more observation than actions"):
+            dataclasses.replace(t, obs=t.obs[:-1])
+        with pytest.raises(ValueError, match="one more observation than actions"):
+            dataclasses.replace(t, acts=t.acts[:-1])
+
+    def test_infos_shorter_raises(self):
+        t = make_traj()
+        with pytest.raises(ValueError, match="infos when present"):
+            dataclasses.replace(t, infos=np.array([{}] * (len(t) - 1)))
+
+    def test_rews_2d_raises(self):
+        t = make_traj()
+        with pytest.raises(ValueError, match="rewards must be 1D"):
+            dataclasses.replace(t, rews=np.zeros((len(t), 2)))
+
+    def test_rews_int_dtype_raises(self):
+        t = make_traj()
+        with pytest.raises(ValueError, match="not a float"):
+            dataclasses.replace(t, rews=np.zeros(len(t), dtype=int))
+
+    @pytest.mark.parametrize(
+        "cls",
+        [types.TransitionsMinimal, types.Transitions, types.TransitionsWithRew],
+    )
+    def test_transitions_acts_mismatch_raises(self, cls):
+        tr = make_transitions(cls=cls)
+        with pytest.raises(ValueError, match="same number of timesteps"):
+            dataclasses.replace(tr, acts=tr.acts[:-1])
+
+    def test_transitions_infos_mismatch_raises(self):
+        tr = make_transitions()
+        with pytest.raises(ValueError, match="obs and infos"):
+            dataclasses.replace(tr, infos=np.array([{}] * (len(tr) - 1)))
+
+    def test_next_obs_shape_mismatch_raises(self):
+        tr = make_transitions()
+        with pytest.raises(ValueError, match="same shape"):
+            dataclasses.replace(tr, next_obs=np.zeros((len(tr), 4, 2), np.float32))
+
+    def test_next_obs_dtype_mismatch_raises(self):
+        # reference test_invalid_transitions dtype branch (:378-385)
+        tr = make_transitions()
+        with pytest.raises(ValueError, match="same dtype"):
+            dataclasses.replace(
+                tr, next_obs=np.zeros_like(np.asarray(tr.next_obs), dtype=bool)
+            )
+
+    def test_dones_2d_raises(self):
+        tr = make_transitions()
+        with pytest.raises(ValueError, match="dones must be 1D"):
+            dataclasses.replace(
+                tr, dones=np.zeros((len(tr), 2), dtype=bool)
+            )
+
+    def test_dones_int_dtype_raises(self):
+        tr = make_transitions()
+        with pytest.raises(ValueError, match="dones must be boolean"):
+            dataclasses.replace(tr, dones=np.zeros(len(tr), dtype=int))
+
+
+class TestEqualityPerturbations:
+    """reference test_traj_unequal_to_perturbations (:184-218)."""
+
+    def test_unequal_to_other_types(self):
+        t = make_traj()
+        assert t != 42
+        assert t != "x"
+        assert t != None  # noqa: E711
+
+    def test_equal_to_copy(self):
+        a, b = make_traj(), make_traj()
+        assert a == b
+
+    def test_unequal_on_each_field(self):
+        base = make_traj()
+        assert base != dataclasses.replace(base, terminal=False)
+        assert base != dataclasses.replace(base, rews=base.rews + 1)
+        assert base != dataclasses.replace(
+            base, acts=np.asarray(base.acts) + 1
+        )
+        obs2 = np.asarray(base.obs).copy()
+        obs2[0, 0] += 1
+        assert base != dataclasses.replace(base, obs=obs2)
+
+    def test_traj_without_rew_not_equal_with_rew(self):
+        a = make_traj(rew=False)
+        b = make_traj(rew=True)
+        assert a != b
+
+
+class TestTransitionsSlicing:
+    """reference test_valid_transitions slicing sweep (:319-347)."""
+
+    @pytest.mark.parametrize(
+        "cls",
+        [types.TransitionsMinimal, types.Transitions, types.TransitionsWithRew],
+    )
+    def test_random_slices_preserve_type_and_content(self, cls):
+        tr = make_transitions(n=8, cls=cls)
+        rng = np.random.default_rng(0)
+        for _ in range(20):
+            start = int(rng.integers(-2, 8))
+            stop = int(rng.integers(0, 10))
+            s = slice(start, stop)
+            sub = tr[s]
+            assert type(sub) is cls
+            np.testing.assert_array_equal(
+                np.asarray(sub.obs), np.asarray(tr.obs)[s]
+            )
+            np.testing.assert_array_equal(sub.acts, tr.acts[s])
+
+    def test_int_index_returns_dict(self):
+        tr = make_transitions(n=4)
+        item = tr[2]
+        assert isinstance(item, dict)
+        np.testing.assert_array_equal(item["obs"], np.asarray(tr.obs)[2])
+        np.testing.assert_array_equal(item["rews"], tr.rews[2])
+
+    def test_array_index_gathers(self):
+        tr = make_transitions(n=6)
+        sub = tr[np.array([0, 3, 5])]
+        assert type(sub) is types.TransitionsWithRew
+        assert len(sub) == 3
+        np.testing.assert_array_equal(sub.rews, tr.rews[[0, 3, 5]])

@@ -174,3 +174,28 @@ def test_train_rl_sac_fast(tmp_path):
         "total_timesteps=512", f"log_root={tmp_path}",
     ])
     assert np.isfinite(result["return_mean"])
+
+
+def test_train_rl_double_normalization_warns(tmp_path):
+    """Normalizing an already-normalized learned reward warns
+    (reference test_scripts.py:768-797)."""
+    import warnings
+
+    train_adversarial.ex.run_cli(
+        ["airl", "with", "fast", f"log_root={tmp_path / 'adv'}"]
+    )
+    run_dir = _latest_run_dir(tmp_path / "adv")
+    reward_path = str(run_dir / "checkpoints" / "final" / "reward_test")
+    with pytest.warns(RuntimeWarning, match="already normalized"):
+        train_rl.ex.run_cli([
+            "with", "fast", f"log_root={tmp_path / 'rl'}",
+            "reward_type=RewardNet_normalized", f"reward_path={reward_path}",
+            "normalize_reward=True",
+        ])
+
+
+def test_train_rl_normalize_reward_runs(tmp_path):
+    result = train_rl.ex.run_cli([
+        "with", "fast", "normalize_reward=True", f"log_root={tmp_path}",
+    ])
+    assert np.isfinite(result["return_mean"])
