@@ -141,8 +141,15 @@ class HostCollector:
                 self._cpu = jax.local_devices(backend="cpu")[0]
             except RuntimeError:
                 self._cpu = None
-        key = jax.random.key(seed)
-        self.key = jax.device_put(key, self._cpu) if self._cpu is not None else key
+        if self._cpu is not None:
+            # Create the key ON the CPU backend. A cross-backend
+            # `device_put` (accelerator -> host CPU backend) deadlocks on
+            # remote/tunneled TPU plugins; `device_get` + fresh host arrays
+            # are the safe direction.
+            with jax.default_device(self._cpu):
+                self.key = jax.random.key(seed)
+        else:
+            self.key = jax.random.key(seed)
         self.obs = venv.reset(seed=seed)
         self._cpu_params = None
         self._cpu_params_src = None
@@ -152,7 +159,12 @@ class HostCollector:
             return self.params
         # cache the host copy; refresh when the trainer swaps in new params
         if self._cpu_params_src is not self.params:
-            self._cpu_params = jax.device_put(self.params, self._cpu)
+            # device_get then re-put: direct accelerator->CPU-backend
+            # device_put deadlocks on remote TPU plugins (see __init__).
+            host = jax.device_get(self.params)
+            self._cpu_params = jax.tree.map(
+                lambda a: jax.device_put(np.asarray(a), self._cpu), host
+            )
             self._cpu_params_src = self.params
         return self._cpu_params
 
