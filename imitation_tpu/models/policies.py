@@ -47,10 +47,28 @@ class ActorCriticNet(nn.Module):
     normalize_features: bool = False
     log_std_init: float = 0.0
     compute_dtype: Any = jnp.float32
+    # "flatten" (default MLP input) or "nature_cnn" (SB3 CnnPolicy's
+    # NatureCNN: 8x8s4x32 / 4x4s2x64 / 3x3s1x64 convs + dense 512, for
+    # [B, H, W, C] image observations scaled from uint8).
+    features: str = "flatten"
 
     @nn.compact
     def __call__(self, obs, *, update_stats: bool = False):
-        if isinstance(obs, dict):
+        if self.features == "nature_cnn" and not isinstance(obs, dict):
+            x = obs.astype(self.compute_dtype)
+            if x.ndim == 3:
+                x = x[..., None]
+            x = x / 255.0
+            for ch, k, s in ((32, 8, 4), (64, 4, 2), (64, 3, 1)):
+                x = nn.relu(
+                    nn.Conv(
+                        ch, (k, k), strides=(s, s), padding="VALID",
+                        dtype=self.compute_dtype, name=f"conv{ch}_{k}",
+                    )(x)
+                )
+            x = x.reshape((x.shape[0], -1))
+            x = nn.relu(nn.Dense(512, dtype=self.compute_dtype, name="cnn_fc")(x))
+        elif isinstance(obs, dict):
             # Dict observations: flatten + concat leaves in sorted key order
             # (the reference's CombinedExtractor, used for DictObs policies).
             parts = [
@@ -103,6 +121,7 @@ class ActorCriticPolicy:
     activation: Callable = nn.tanh
     normalize_features: bool = False
     log_std_init: float = 0.0
+    features: str = "flatten"  # "flatten" | "nature_cnn" (CnnPolicy equiv)
 
     def __post_init__(self):
         self.net = ActorCriticNet(
@@ -111,6 +130,7 @@ class ActorCriticPolicy:
             activation=self.activation,
             normalize_features=self.normalize_features,
             log_std_init=self.log_std_init,
+            features=self.features,
         )
 
     # -- init --------------------------------------------------------------
