@@ -506,7 +506,31 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
             step = lambda c, x: self._round_step(c, x, demo_batch)
             return jax.lax.scan(step, carry, None, length=k)
 
-        carry = (self.gen_state, self.disc_state, self._gen_buffer_state)
+        def unalias(tree):
+            # Donation rejects a buffer appearing twice in the carry; freshly
+            # built states can alias (jax caches small constants like
+            # zero-scalars across leaves). Copy duplicates once up front —
+            # every later carry comes out of the previous execution with
+            # distinct buffers.
+            seen = set()
+
+            def f(x):
+                if not isinstance(x, jax.Array):
+                    return x
+                try:
+                    ptr = x.unsafe_buffer_pointer()
+                except Exception:
+                    ptr = id(x)
+                if ptr in seen:
+                    return jnp.array(x, copy=True)
+                seen.add(ptr)
+                return x
+
+            return jax.tree.map(f, tree)
+
+        carry = unalias(
+            (self.gen_state, self.disc_state, self._gen_buffer_state)
+        )
         done_rounds = 0
         while done_rounds < n_rounds:
             k = min(rounds_per_sync, n_rounds - done_rounds)

@@ -139,9 +139,14 @@ class InteractiveTrajectoryCollector:
     def _mixture_policy_apply(self, expert_apply):
         beta = self.beta
         robot_apply = self.robot_policy_apply
-        robot_variables = self.robot_variables
 
-        def apply(expert_params, obs, key):
+        # Both parameter sets travel as the `params` ARGUMENT of the
+        # collector's jitted apply — closing over the robot variables would
+        # bake device arrays into the program as constants (slow fetch at
+        # lowering on remote TPU backends; recompile every round when BC
+        # updates them).
+        def apply(params, obs, key):
+            expert_params, robot_variables = params
             k_e, k_r, k_mix = jax.random.split(key, 3)
             expert_acts, _ = expert_apply(expert_params, obs, k_e)
             robot_acts, _ = robot_apply(robot_variables, obs, k_r)
@@ -170,7 +175,8 @@ class InteractiveTrajectoryCollector:
             # Host (gym-bridge) envs: env steps on host, mixture policy
             # jitted per step.
             collector = rollout_mod.HostCollector(
-                self.venv, mixture, expert_params, seed=seed
+                self.venv, mixture, (expert_params, self.robot_variables),
+                seed=seed,
             )
             while not sample_until(collected):
                 chunk = collector.collect(chunk_size)
@@ -184,7 +190,8 @@ class InteractiveTrajectoryCollector:
             while not sample_until(collected):
                 key, sub = jax.random.split(key)
                 state, chunk = collect_jit(
-                    self.venv, mixture, expert_params, state, chunk_size, sub
+                    self.venv, mixture, (expert_params, self.robot_variables),
+                    state, chunk_size, sub,
                 )
                 # Demonstrations record the EXPERT action, not the stepped one.
                 demo_chunk = chunk.replace(acts=chunk.aux["expert_acts"])

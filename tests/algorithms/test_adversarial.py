@@ -167,3 +167,12 @@ def test_disc_minibatch_grad_accum_equivalence(algo_cls, cartpole_demos):
 def test_disc_minibatch_must_divide_batch(cartpole_demos):
     with pytest.raises(ValueError, match="divisible"):
         make_trainer(GAIL, cartpole_demos, demo_minibatch_size=7)
+
+
+@pytest.mark.parametrize("algo_cls", ALGOS)
+def test_train_fused_runs_and_advances(algo_cls, cartpole_demos):
+    """The scanned multi-round program executes and advances both chains."""
+    trainer = make_trainer(algo_cls, cartpole_demos)
+    trainer.train_fused(4 * trainer.gen_train_timesteps, rounds_per_sync=2)
+    assert int(trainer.gen_state.n_updates) == 4
+    assert int(trainer.disc_state.step) == 4 * trainer.n_disc_updates_per_round
