@@ -12,3 +12,31 @@ updates — is a compiled XLA program operating on pytrees in HBM.
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_persistent_compilation_cache() -> None:
+    """Persistent XLA compilation cache, on by default.
+
+    First compiles through a remote/tunneled TPU backend cost minutes per
+    program; the on-disk cache makes every rerun (CLI scripts, benchmarks,
+    notebooks) skip them. Opt out with IMITATION_TPU_NO_COMPILE_CACHE=1 or
+    override the location with JAX_COMPILATION_CACHE_DIR.
+    """
+    import os
+
+    if os.environ.get("IMITATION_TPU_NO_COMPILE_CACHE"):
+        return
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return  # user-set env var already configures jax
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir", "/tmp/imitation_tpu_jax_cache"
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - jax config surface changes
+        pass
+
+
+_enable_persistent_compilation_cache()

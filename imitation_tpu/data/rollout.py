@@ -20,6 +20,8 @@ Two layers:
 
 from __future__ import annotations
 
+import os
+import time
 from typing import Any, Callable, Mapping, Optional, Sequence, Tuple, Union
 
 import jax
@@ -385,10 +387,17 @@ def generate_trajectories(
     trajectories = []
 
     collect_jit = jax.jit(collect, static_argnums=(0, 1, 4))
+    debug_timing = bool(os.environ.get("IMITATION_TPU_DEBUG_TIMING"))
     while not sample_until(trajectories):
         key, sub = jax.random.split(key)
+        t0 = time.perf_counter() if debug_timing else 0.0
         state, chunk = collect_jit(venv, policy_apply, params, state, chunk_size, sub)
+        if debug_timing:
+            print(f"[rollout] dispatch {time.perf_counter()-t0:.2f}s", flush=True)
+            t0 = time.perf_counter()
         trajectories.extend(accum.add_chunk(chunk))
+        if debug_timing:
+            print(f"[rollout] fetch+cut {time.perf_counter()-t0:.2f}s", flush=True)
 
     # Shuffle for unbiased truncation by callers.
     perm = rng.permutation(len(trajectories))
