@@ -279,6 +279,9 @@ def record(algo, env_key, seed, final, extra=None):
 
 
 def main():
+    import imitation_tpu
+
+    imitation_tpu.enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("algo", choices=["bc", "dagger", "gail", "airl"])
     ap.add_argument("env_key", choices=sorted(ENV_IDS))

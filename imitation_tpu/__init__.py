@@ -14,13 +14,16 @@ updates — is a compiled XLA program operating on pytrees in HBM.
 __version__ = "0.1.0"
 
 
-def _enable_persistent_compilation_cache() -> None:
-    """Persistent XLA compilation cache, on by default.
+def enable_compile_cache() -> None:
+    """Persistent XLA compilation cache for accelerator backends.
 
     First compiles through a remote/tunneled TPU backend cost minutes per
-    program; the on-disk cache makes every rerun (CLI scripts, benchmarks,
-    notebooks) skip them. Opt out with IMITATION_TPU_NO_COMPILE_CACHE=1 or
-    override the location with JAX_COMPILATION_CACHE_DIR.
+    program; the on-disk cache makes reruns skip them. No-op on the CPU
+    backend (fast compiles; the cache can serve AOT artifacts with
+    mismatched host-feature flags). Entry points (CLI scripts, benchmark
+    runners) call this once at startup. Opt out with
+    IMITATION_TPU_NO_COMPILE_CACHE=1 or override the location with
+    JAX_COMPILATION_CACHE_DIR.
     """
     import os
 
@@ -31,12 +34,11 @@ def _enable_persistent_compilation_cache() -> None:
     try:
         import jax
 
+        if jax.default_backend() == "cpu":
+            return
         jax.config.update(
             "jax_compilation_cache_dir", "/tmp/imitation_tpu_jax_cache"
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # pragma: no cover - jax config surface changes
         pass
-
-
-_enable_persistent_compilation_cache()

@@ -165,6 +165,9 @@ class Experiment:
         return configure_logger(run_dir, fmts)
 
     def run_cli(self, argv: Optional[Sequence[str]] = None) -> Any:
+        import imitation_tpu
+
+        imitation_tpu.enable_compile_cache()
         argv = list(sys.argv[1:] if argv is None else argv)
         command, config = self.parse_cli(argv)
         if config is None:  # print_config
