@@ -136,6 +136,13 @@ class Experiment:
         if run_dir is None:
             run_dir = os.path.join(log_root, env_name, util.make_unique_timestamp())
         os.makedirs(run_dir, exist_ok=True)
+        try:
+            from imitation_tpu.util.run_dirs import link_latest
+
+            # {log_root}/{env}/latest -> newest run dir
+            link_latest(os.path.dirname(run_dir), run_dir)
+        except Exception:
+            pass
         with open(os.path.join(run_dir, "config.json"), "w") as f:
             json.dump(config, f, indent=2, default=str)
         with open(os.path.join(run_dir, "run.json"), "w") as f:
