@@ -40,7 +40,12 @@ if guard bench_kernels; then
   timeout 1800 python -m benchmarking.bench_kernels > "$LOG_DIR/bench_kernels.log" 2>&1
   fin bench_kernels $?
 fi
+# bc seed retries — compiles are cached by earlier attempts, so these are
+# cheap even if the first pass timed out mid-compile.
 runp bc seals_walker2d 1 1200
+runp bc seals_hopper 1 1200
+runp bc seals_half_cheetah 1 1200
+runp bc seals_swimmer 1 1200
 runp bc seals_walker2d 2 1200
 runp bc seals_hopper 2 1200
 runp bc seals_half_cheetah 2 1200

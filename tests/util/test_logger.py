@@ -121,3 +121,51 @@ def test_tensorboard_output(tmp_path):
     logger.close()
     events = glob.glob(str(tmp_path / "events.out.tfevents*"))
     assert events, "no tensorboard event files written"
+
+
+def test_hard_interleaved_contexts(tmp_path):
+    """Reference test_hard (tests/util/test_logger.py:163-233): interleaved
+    accumulate contexts, means flushed per outer dump, raw sub-logs appended
+    across re-entries, missing keys blank in CSV."""
+    logger = configure(str(tmp_path), ["csv"])
+    logger.record("no_context", 1)
+    with logger.accumulate_means("disc"):
+        logger.record("C", 2)
+        logger.record("D", 2)
+        logger.dump(step=0)
+        logger.record("C", 4)
+        logger.dump(step=1)
+    with logger.accumulate_means("gen"):
+        logger.record("E", 2)
+        logger.dump(step=0)
+        logger.record("E", 0)
+        logger.dump(step=1)
+    with logger.accumulate_means("disc"):
+        logger.record("C", 3)
+        logger.dump(step=2)
+    logger.dump(step=0)
+
+    rows = read_csv(tmp_path / "progress.csv")
+    assert float(rows[0]["mean/disc/C"]) == 3.0  # mean(2, 4, 3)
+    assert float(rows[0]["mean/disc/D"]) == 2.0
+    assert float(rows[0]["mean/gen/E"]) == 1.0  # mean(2, 0)
+    assert rows[0]["no_context"] == "1"
+    raw_disc = read_csv(tmp_path / "raw" / "disc" / "progress.csv")
+    assert [r["raw/disc/C"] for r in raw_disc] == ["2", "4", "3"]
+    assert [r.get("raw/disc/D", "") for r in raw_disc] == ["2", "", ""]
+    raw_gen = read_csv(tmp_path / "raw" / "gen" / "progress.csv")
+    assert [r["raw/gen/E"] for r in raw_gen] == ["2", "0"]
+
+    # Part two: appending after the first mean flush.
+    with logger.accumulate_means("disc"):
+        logger.record("D", 100)
+        logger.dump(step=3)
+    logger.record("no_context", 2)
+    logger.dump(step=1)
+    rows = read_csv(tmp_path / "progress.csv")
+    assert len(rows) == 2
+    assert float(rows[1]["mean/disc/D"]) == 100.0
+    assert rows[1].get("mean/gen/E", "") == ""
+    assert rows[1]["no_context"] == "2"
+    raw_disc = read_csv(tmp_path / "raw" / "disc" / "progress.csv")
+    assert [r.get("raw/disc/D", "") for r in raw_disc] == ["2", "", "", "100"]
