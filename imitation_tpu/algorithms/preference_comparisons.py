@@ -174,8 +174,10 @@ class AgentTrainer(TrajectoryGenerator):
         )
 
         def relabel_fn(reward_variables, obs, acts, next_obs, dones):
+            # Frozen stats inside the jitted step; _fold_reward_stats applies
+            # the reference's update_stats=True semantics outside it.
             return reward_net.apply(
-                reward_variables, obs, acts, next_obs, dones,
+                reward_variables, obs, acts, next_obs, dones, False,
                 method="predict_processed",
             )
 
@@ -184,6 +186,7 @@ class AgentTrainer(TrajectoryGenerator):
         algorithm.rebind()
         self.state = algorithm.init_state()
         self.reward_variables: Any = None  # set by orchestrator before train()
+        self._fold_stats_jit = None
         self._accum = rollout_mod.TrajectoryAccumulator(venv.num_envs)
         self._buffered: List[types.TrajectoryWithRew] = []
         self._explorer = ExplorationWrapper(
@@ -202,10 +205,42 @@ class AgentTrainer(TrajectoryGenerator):
             self.state, metrics, chunk = self.algorithm._train_step_jit(
                 self.state, self.reward_variables
             )
+            self._fold_reward_stats(chunk)
             self._buffered.extend(self._accum.add_chunk(chunk))
         host = {k: float(v) for k, v in jax.device_get(metrics).items()}
         for k, v in host.items():
             self.logger.record(k, v)
+
+    def _fold_reward_stats(self, chunk) -> None:
+        """Folds the relabeled chunk into a NormalizedRewardNet's output
+        normalizer (reference relabels with ``update_stats=True``,
+        reward_nets.py:613-671; stats collections are immutable inside the
+        jitted train step, so the fold is one tiny separate jitted apply)."""
+        from imitation_tpu.rewards.reward_nets import NormalizedRewardNet
+
+        if not isinstance(self.reward_net, NormalizedRewardNet):
+            return
+        if self._fold_stats_jit is None:
+
+            def fold(variables, obs, acts, next_obs, dones):
+                _, mut = self.reward_net.apply(
+                    variables, obs, acts, next_obs, dones, True,
+                    method="predict_processed", mutable=["stats"],
+                )
+                return mut["stats"]
+
+            self._fold_stats_jit = jax.jit(fold)
+        T, B = chunk.acts.shape[0], chunk.acts.shape[1]
+        flat = lambda x: x.reshape((T * B,) + x.shape[2:])
+        dones = (chunk.terminated | chunk.truncated).astype(jnp.float32)
+        stats = self._fold_stats_jit(
+            self.reward_variables,
+            jax.tree.map(flat, chunk.obs),
+            flat(chunk.acts),
+            jax.tree.map(flat, chunk.next_obs),
+            flat(dones),
+        )
+        self.reward_variables = {**self.reward_variables, "stats": stats}
 
     def sample(self, steps: int) -> Sequence[types.TrajectoryWithRew]:
         """Serve buffered true-reward episodes; top up if needed
@@ -294,6 +329,7 @@ class SACAgentTrainer(TrajectoryGenerator):
                 batch.acts,
                 batch.next_obs,
                 batch.dones,
+                False,  # frozen stats inside jit (see AgentTrainer)
                 method="predict_processed",
             )
             return batch.replace(rews=rews)
@@ -1345,6 +1381,13 @@ class PreferenceComparisons(base.BaseImitationAlgorithm):
             with self.logger.accumulate_means("agent"):
                 self.logger.info(f"Training agent for {num_steps} timesteps")
                 self.trajectory_generator.train(steps=num_steps)
+            # Relabel-time normalizer-stats updates flow back (params are
+            # untouched by the generator, so the trainer's opt_state stays
+            # valid).
+            gen_vars = getattr(self.trajectory_generator, "reward_variables", None)
+            if gen_vars is not None:
+                self.reward_variables = gen_vars
+                self.reward_trainer.variables = gen_vars
 
             self.logger.dump(self._iteration)
             if callback:

@@ -307,6 +307,21 @@ class NormalizedRewardNet(RewardNet):
         out = self.normalizer(rew[:, None], update_stats=update_stats)[:, 0]
         return out
 
+    def _init_paths(self, obs, acts, next_obs, dones):
+        # init must trace predict_processed too, else the normalizer's stats
+        # variables would not exist in the initialized pytree.
+        self(obs, acts, next_obs, dones)
+        return self.predict_processed(obs, acts, next_obs, dones, update_stats=False)
+
+    def init_variables(self, key: jax.Array, batch: int = 2):
+        obs = jnp.zeros((batch,) + self.observation_space.shape, jnp.float32)
+        if self.action_space.is_discrete:
+            acts = jnp.zeros((batch,), jnp.int32)
+        else:
+            acts = jnp.zeros((batch,) + self.action_space.shape, jnp.float32)
+        dones = jnp.zeros((batch,), jnp.float32)
+        return self.init(key, obs, acts, obs, dones, method="_init_paths")
+
 
 class RewardEnsemble(RewardNet):
     """Ensemble of reward nets with mean/variance predictions.

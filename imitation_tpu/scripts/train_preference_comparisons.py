@@ -40,8 +40,11 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     "comparison_queue_size": None,
     "exploration_frac": 0.0,
     "query_schedule": "hyperbolic",
+    # normalize_output_layer: "running" | "ema" | None — reference defaults
+    # RunningNorm output normalization (reference ingredients/reward.py:23).
     "reward": {"ensemble": False, "num_members": 3, "active_selection": False,
-               "active_selection_oversampling": 2.0, "uncertainty_on": "logit"},
+               "active_selection_oversampling": 2.0, "uncertainty_on": "logit",
+               "normalize_output_layer": "running"},
     "reward_trainer": {"epochs": 3, "batch_size": 32, "lr": 1e-3},
     "gatherer": {"temperature": 1.0, "discount_factor": 1.0, "sample": True},
     "rl": {"n_steps": 128, "batch_size": 64, "n_epochs": 4, "learning_rate": 3e-4},
@@ -63,6 +66,10 @@ ex.named_config("fast", {
 })
 ex.named_config("ensemble", {"reward": {"ensemble": True}})
 ex.named_config("active", {"reward": {"ensemble": True, "active_selection": True}})
+# reference ingredients/reward.py:39-51 named configs
+ex.named_config("normalize_output_disable", {"reward": {"normalize_output_layer": None}})
+ex.named_config("normalize_output_running", {"reward": {"normalize_output_layer": "running"}})
+ex.named_config("normalize_output_ema", {"reward": {"normalize_output_layer": "ema"}})
 
 
 @ex.main
@@ -81,6 +88,17 @@ def train_preference_comparisons(config: Dict[str, Any], run_dir: str, logger):
             observation_space=venv.observation_space,
             action_space=venv.action_space,
         )
+        norm = r_cfg.get("normalize_output_layer")
+        if norm:
+            from imitation_tpu.models.networks import EMANorm, RunningNorm
+            from imitation_tpu.rewards.reward_nets import NormalizedRewardNet
+
+            reward_net = NormalizedRewardNet(
+                observation_space=venv.observation_space,
+                action_space=venv.action_space,
+                base=reward_net,
+                normalize_cls={"running": RunningNorm, "ema": EMANorm}[norm],
+            )
 
     rl_cfg = config["rl"]
     batch = rl_cfg["n_steps"] * venv.num_envs

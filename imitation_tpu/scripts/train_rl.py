@@ -84,17 +84,12 @@ def train_rl(config: Dict[str, Any], run_dir: str, logger) -> Dict[str, Any]:
         # load the net directly so relabeling jits with the rollout.
         from imitation_tpu.rewards import serialize as reward_serialize
 
-        net, variables = reward_serialize.load_reward_net(config["reward_path"])
-        method = (
-            "base_forward"
-            if config["reward_type"] == "RewardNet_unshaped"
-            else "predict_processed"
-            if config["reward_type"] == "RewardNet_normalized"
-            else "__call__"
+        apply, variables = reward_serialize.load_reward_apply(
+            config["reward_type"], config["reward_path"]
         )
 
         def reward_fn(params, obs, acts, next_obs, dones):
-            return net.apply(variables, obs, acts, next_obs, dones, method=method)
+            return apply(variables, obs, acts, next_obs, dones)
 
         if config["normalize_reward"] and config["reward_type"] == "RewardNet_normalized":
             import warnings

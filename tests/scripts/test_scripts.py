@@ -178,20 +178,41 @@ def test_train_rl_sac_fast(tmp_path):
 
 def test_train_rl_double_normalization_warns(tmp_path):
     """Normalizing an already-normalized learned reward warns
-    (reference test_scripts.py:768-797)."""
-    import warnings
-
-    train_adversarial.ex.run_cli(
-        ["airl", "with", "fast", f"log_root={tmp_path / 'adv'}"]
+    (reference test_scripts.py:768-797). The RLHF script's default
+    normalize_output_layer produces the NormalizedRewardNet checkpoint."""
+    train_preference_comparisons.ex.run_cli(
+        ["with", "fast", f"log_root={tmp_path / 'pc'}"]
     )
-    run_dir = _latest_run_dir(tmp_path / "adv")
-    reward_path = str(run_dir / "checkpoints" / "final" / "reward_test")
+    run_dir = _latest_run_dir(tmp_path / "pc")
+    reward_path = str(run_dir / "checkpoints" / "final" / "reward_net")
     with pytest.warns(RuntimeWarning, match="already normalized"):
         train_rl.ex.run_cli([
             "with", "fast", f"log_root={tmp_path / 'rl'}",
             "reward_type=RewardNet_normalized", f"reward_path={reward_path}",
             "normalize_reward=True",
         ])
+
+
+def test_train_rl_rejects_nonnormalized_checkpoint_as_normalized(tmp_path):
+    """Loading a plain AIRL reward as RewardNet_normalized raises
+    (reference test_cant_load_unnorm_as_norm semantics at the CLI)."""
+    train_adversarial.ex.run_cli(
+        ["airl", "with", "fast", f"log_root={tmp_path / 'adv'}"]
+    )
+    run_dir = _latest_run_dir(tmp_path / "adv")
+    reward_path = str(run_dir / "checkpoints" / "final" / "reward_test")
+    with pytest.raises(TypeError, match="RewardNet_normalized"):
+        train_rl.ex.run_cli([
+            "with", "fast", f"log_root={tmp_path / 'rl'}",
+            "reward_type=RewardNet_normalized", f"reward_path={reward_path}",
+        ])
+
+
+def test_train_preference_comparisons_normalize_output_disable(tmp_path):
+    result = train_preference_comparisons.ex.run_cli([
+        "with", "fast", "normalize_output_disable", f"log_root={tmp_path}",
+    ])
+    assert result["reward_loss"] is not None
 
 
 def test_train_rl_normalize_reward_runs(tmp_path):
