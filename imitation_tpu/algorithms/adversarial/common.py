@@ -48,6 +48,7 @@ from imitation_tpu.models.policies import ActorCriticPolicy
 from imitation_tpu.rewards.reward_nets import RewardNet
 from imitation_tpu.rl import common as rl_common
 from imitation_tpu.rl.ppo import PPO, PPOConfig
+from imitation_tpu.rl.sac import SAC
 from imitation_tpu.util.logger import HierarchicalLogger
 
 
@@ -143,7 +144,9 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
 
         # Generator: PPO with the learned-reward relabel fused in
         # (replaces reference's BufferingWrapper+RewardVecEnvWrapper stack,
-        # common.py:229-241).
+        # common.py:229-241). Off-policy generators (SAC) relabel at replay
+        # sample time instead — the reference's ReplayBufferRewardWrapper
+        # semantics (ingredients/rl.py:163-196).
         if gen_algo is None:
             policy = policy or ActorCriticPolicy(
                 observation_space=venv.observation_space,
@@ -157,6 +160,17 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
                 return_transitions=True,
                 seed=seed,
             )
+        elif isinstance(gen_algo, SAC):
+            def _relabel_batch(reward_params, batch):
+                rews = self._reward_train_relabel_fn(
+                    reward_params, batch.obs, batch.acts, batch.next_obs,
+                    batch.dones,
+                )
+                return batch.replace(rews=rews)
+
+            gen_algo.relabel_fn = _relabel_batch
+            gen_algo.return_transitions = True
+            gen_algo.rebind()
         else:
             gen_algo.reward_fn = self._reward_train_relabel_fn
             gen_algo.return_transitions = True
@@ -164,9 +178,14 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
         self.gen_algo = gen_algo
 
         # One generator round produces n_steps * num_envs transitions
-        # (reference common.py:246-253: defaults to one on-policy batch).
+        # (reference common.py:246-253: defaults to one on-policy batch;
+        # off-policy generators use train_freq like SB3's train_freq rollout).
+        self._gen_steps_per_iter = (
+            getattr(self.gen_algo.config, "n_steps", None)
+            or self.gen_algo.config.train_freq
+        ) * venv.num_envs
         if gen_train_timesteps is None:
-            gen_train_timesteps = self.gen_algo.config.n_steps * venv.num_envs
+            gen_train_timesteps = self._gen_steps_per_iter
         self.gen_train_timesteps = gen_train_timesteps
         if gen_replay_buffer_capacity is None:
             gen_replay_buffer_capacity = self.gen_train_timesteps
@@ -294,11 +313,14 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
         if self.needs_policy_log_prob:
             # log pi(a|s) under the current generator policy, no gradient
             # (reference _get_log_policy_act_prob, common.py:476-519).
-            dist = self.policy.distribution(policy_variables, obs)
-            if self.policy.action_space.is_discrete:
-                log_prob = dist.log_prob(acts.astype(jnp.int32))
+            if isinstance(self.gen_algo, SAC):
+                log_prob = self.gen_algo.log_prob_fn()(policy_variables, obs, acts)
             else:
-                log_prob = dist.log_prob(acts.reshape(acts.shape[0], -1))
+                dist = self.policy.distribution(policy_variables, obs)
+                if self.policy.action_space.is_discrete:
+                    log_prob = dist.log_prob(acts.astype(jnp.int32))
+                else:
+                    log_prob = dist.log_prob(acts.reshape(acts.shape[0], -1))
             log_prob = jax.lax.stop_gradient(log_prob)
         else:
             log_prob = None
@@ -411,7 +433,12 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
         training (reference agent_path warm start, ingredients/rl.py:199-231)."""
         if self.gen_state is None:
             self.gen_state = self.gen_algo.init_state()
-        self.gen_state = self.gen_state.replace(variables=variables)
+        if hasattr(self.gen_state, "actor_params"):  # SACState
+            self.gen_state = self.gen_state.replace(
+                actor_params=variables["params"]
+            )
+        else:
+            self.gen_state = self.gen_state.replace(variables=variables)
 
     # -- generator step ----------------------------------------------------
     def train_gen(
@@ -423,14 +450,16 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
             total_timesteps = self.gen_train_timesteps
         if self.gen_state is None:
             self.gen_state = self.gen_algo.init_state()
-        steps_per_iter = self.gen_algo.config.n_steps * self.venv.num_envs
-        n_iters = max(1, int(np.ceil(total_timesteps / steps_per_iter)))
+        n_iters = max(1, int(np.ceil(total_timesteps / self._gen_steps_per_iter)))
         metrics = {}
         for _ in range(n_iters):
             self.gen_state, metrics_dev, chunk = self.gen_algo._train_step_jit(
                 self.gen_state, self.disc_state.variables
             )
-            transitions = self._chunk_to_transitions_jit(chunk)
+            if isinstance(chunk, types.TransitionBatch):
+                transitions = chunk  # off-policy generators return these directly
+            else:
+                transitions = self._chunk_to_transitions_jit(chunk)
             if self._gen_buffer_state is None:
                 self._gen_buffer_state = self._gen_replay_buffer.init_state(transitions)
             self._gen_buffer_state = self._buffer_store_jit(
@@ -461,7 +490,10 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
         gen_state, gen_metrics, chunk = self.gen_algo.train_step(
             gen_state, disc_state.variables
         )
-        transitions = rollout_chunk_to_transitions(chunk)
+        if isinstance(chunk, types.TransitionBatch):
+            transitions = chunk  # off-policy generators return these directly
+        else:
+            transitions = rollout_chunk_to_transitions(chunk)
         buffer_state = self._gen_replay_buffer.store(buffer_state, transitions)
 
         def disc_body(ds, _):
@@ -490,7 +522,7 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
         per round, SURVEY §3.1); ``train()`` remains the step-by-step API
         with per-round logging.
         """
-        if self.gen_algo.is_host_env:
+        if getattr(self.gen_algo, "is_host_env", False):
             raise ValueError("train_fused requires a device (pure-JAX) env")
         n_rounds = total_timesteps // self.gen_train_timesteps
         assert n_rounds >= 1

@@ -53,21 +53,35 @@ def _space_from_json(d: Dict[str, Any]) -> Space:
     )
 
 
-def save_policy(path: str, policy: ActorCriticPolicy, variables: Any) -> None:
-    """Saves policy architecture + variables to ``path`` (a directory)."""
+def save_policy(path: str, policy: Any, variables: Any) -> None:
+    """Saves policy architecture + variables to ``path`` (a directory).
+
+    Handles ActorCriticPolicy and SACPolicy (reference saves PPO/SAC
+    model.zip via save_stable_model, policies/serialize.py:155-180).
+    """
+    from imitation_tpu.rl.sac import SACPolicy
+
     os.makedirs(path, exist_ok=True)
-    act_name = getattr(policy.activation, "__name__", None) or getattr(
-        getattr(policy.activation, "__wrapped__", None), "__name__", "tanh"
-    )
-    config = {
-        "policy_type": "actor_critic",
-        "observation_space": _space_to_json(policy.observation_space),
-        "action_space": _space_to_json(policy.action_space),
-        "hid_sizes": list(policy.hid_sizes),
-        "normalize_features": policy.normalize_features,
-        "log_std_init": policy.log_std_init,
-        "activation": act_name,
-    }
+    if isinstance(policy, SACPolicy):
+        config = {
+            "policy_type": "sac_actor",
+            "observation_space": _space_to_json(policy.observation_space),
+            "action_space": _space_to_json(policy.action_space),
+            "hid_sizes": list(policy.hid_sizes),
+        }
+    else:
+        act_name = getattr(policy.activation, "__name__", None) or getattr(
+            getattr(policy.activation, "__wrapped__", None), "__name__", "tanh"
+        )
+        config = {
+            "policy_type": "actor_critic",
+            "observation_space": _space_to_json(policy.observation_space),
+            "action_space": _space_to_json(policy.action_space),
+            "hid_sizes": list(policy.hid_sizes),
+            "normalize_features": policy.normalize_features,
+            "log_std_init": policy.log_std_init,
+            "activation": act_name,
+        }
     with open(os.path.join(path, POLICY_CONFIG), "w") as f:
         json.dump(config, f, indent=2)
     with open(os.path.join(path, POLICY_VARS), "wb") as f:
@@ -78,6 +92,18 @@ def load_policy_from_path(path: str) -> Tuple[ActorCriticPolicy, Any]:
     """Loads (policy, variables) saved by ``save_policy``."""
     with open(os.path.join(path, POLICY_CONFIG)) as f:
         config = json.load(f)
+    if config["policy_type"] == "sac_actor":
+        from imitation_tpu.rl.sac import SACPolicy
+
+        policy = SACPolicy(
+            observation_space=_space_from_json(config["observation_space"]),
+            action_space=_space_from_json(config["action_space"]),
+            hid_sizes=tuple(config["hid_sizes"]),
+        )
+        template = policy.init_variables(jax.random.key(0))
+        with open(os.path.join(path, POLICY_VARS), "rb") as f:
+            variables = flax.serialization.from_bytes(template, f.read())
+        return policy, variables
     if config["policy_type"] != "actor_critic":
         raise ValueError(f"unknown policy_type {config['policy_type']!r}")
     import flax.linen as nn

@@ -118,6 +118,47 @@ RelabelBatchFn = Callable[[Any, TransitionBatch], TransitionBatch]
 SampleHook = Callable[[Any, Any, jax.Array, int], TransitionBatch]
 
 
+class SACPolicy:
+    """Standalone SAC actor policy: sample/deterministic/log-prob fns over
+    env-scaled actions. Serializable via ``policies.serialize.save_policy``
+    (the reference saves SB3 SAC model.zip, policies/serialize.py:155-180)."""
+
+    def __init__(self, observation_space, action_space, hid_sizes=(256, 256)):
+        self.observation_space = observation_space
+        self.action_space = action_space
+        self.hid_sizes = tuple(hid_sizes)
+        self.actor = SACActor(action_space.flat_dim, self.hid_sizes)
+        low = np.broadcast_to(np.asarray(action_space.low, np.float32), action_space.shape)
+        high = np.broadcast_to(np.asarray(action_space.high, np.float32), action_space.shape)
+        self._act_scale = jnp.asarray((high - low) / 2.0)
+        self._act_center = jnp.asarray((high + low) / 2.0)
+
+    def _scale(self, squashed):
+        return (
+            squashed.reshape((-1,) + self.action_space.shape) * self._act_scale
+            + self._act_center
+        )
+
+    def sample_fn(self):
+        def f(variables, obs, key):
+            dist = self.actor.apply(variables, obs)
+            squashed, lp = dist.sample_and_log_prob(key)
+            return self._scale(squashed), {"log_prob": lp}
+
+        return f
+
+    def deterministic_fn(self):
+        def f(variables, obs, key):
+            dist = self.actor.apply(variables, obs)
+            return self._scale(dist.mode()), {}
+
+        return f
+
+    def init_variables(self, key: jax.Array):
+        obs = jnp.zeros((1,) + self.observation_space.shape, jnp.float32)
+        return {"params": self.actor.init(key, obs)["params"]}
+
+
 class SAC:
     """Soft Actor-Critic over a VectorEnv (continuous actions).
 
@@ -152,6 +193,10 @@ class SAC:
         self.replay = ReplayBuffer(config.buffer_size)
         self.relabel_fn = relabel_fn
         self.sample_hook = sample_hook
+        # When True, train_step also returns the freshly collected
+        # TransitionBatch (adversarial trainers store it for disc batches,
+        # the reference's BufferingWrapper pop, common.py:422-425).
+        self.return_transitions = False
         self._seed = seed
         self.target_entropy = (
             config.target_entropy
@@ -378,7 +423,28 @@ class SAC:
             timesteps=new_timesteps,
             n_updates=state.n_updates + cfg.gradient_steps,
         )
+        if self.return_transitions:
+            return new_state, metrics, transitions
         return new_state, metrics
+
+    def rebind(self) -> None:
+        """Re-jit after hooks (relabel_fn/return_transitions) change."""
+        self._train_step_jit = jax.jit(self.train_step)
+
+    def log_prob_fn(self):
+        """log pi(a|s) of env-scaled actions, incl. the affine-rescale
+        jacobian — AIRL's disc logit term for off-policy generators
+        (reference _get_log_policy_act_prob, adversarial/common.py:476-519)."""
+        log_scale_sum = float(np.sum(np.log(np.asarray(self._act_scale))))
+
+        def f(variables, obs, acts_env):
+            dist = self.actor.apply(variables, obs)
+            a = (acts_env.reshape(acts_env.shape[0], -1)
+                 - self._act_center.reshape(-1)) / self._act_scale.reshape(-1)
+            a = jnp.clip(a, -1 + 1e-6, 1 - 1e-6)
+            return dist.log_prob(a) - log_scale_sum
+
+        return f
 
     def learn(
         self,
@@ -403,14 +469,12 @@ class SAC:
         return state
 
     @property
-    def policy(self):
-        sac = self
-
-        class _Policy:
-            def sample_fn(self):
-                return sac.sample_fn()
-
-            def deterministic_fn(self):
-                return sac.deterministic_fn()
-
-        return _Policy()
+    def policy(self) -> SACPolicy:
+        p = SACPolicy(
+            self.venv.observation_space,
+            self.venv.action_space,
+            tuple(self.config.actor_hid_sizes),
+        )
+        # share this SAC's actor module so apply() sees identical structure
+        p.actor = self.actor
+        return p

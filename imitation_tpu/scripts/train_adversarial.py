@@ -67,6 +67,10 @@ ex.named_config("fast", {
     "algorithm_kwargs": {"demo_batch_size": 16, "n_disc_updates_per_round": 2},
     "rl": {"n_steps": 16, "batch_size": 16, "n_epochs": 1},
 })
+# SAC generator (reference `rl.sac` named config + ReplayBufferRewardWrapper
+# relabel-at-sample semantics, ingredients/rl.py:104-196). Continuous
+# actions only.
+ex.named_config("sac", {"rl": {"algo": "sac"}})
 
 
 def _train(algo_cls, config: Dict[str, Any], run_dir: str, logger) -> Dict[str, Any]:
@@ -76,6 +80,20 @@ def _train(algo_cls, config: Dict[str, Any], run_dir: str, logger) -> Dict[str, 
     venv = ingredients.make_venv_from_config(config)
     demos = ingredients.get_expert_trajectories(config, venv)
     rl_cfg = config["rl"]
+    gen_algo = None
+    if rl_cfg.get("algo", "ppo") == "sac":
+        from imitation_tpu.rl.sac import SAC, SACConfig
+
+        gen_algo = SAC(
+            venv,
+            SACConfig(
+                learning_rate=rl_cfg["learning_rate"],
+                train_freq=rl_cfg.get("train_freq", rl_cfg["n_steps"]),
+                batch_size=rl_cfg["batch_size"],
+                learning_starts=rl_cfg.get("learning_starts", 100),
+            ),
+            seed=config["seed"],
+        )
     batch = rl_cfg["n_steps"] * venv.num_envs
     gen_config = PPOConfig(
         n_steps=rl_cfg["n_steps"],
@@ -106,8 +124,9 @@ def _train(algo_cls, config: Dict[str, Any], run_dir: str, logger) -> Dict[str, 
     trainer = algo_cls(
         demonstrations=demos,
         venv=venv,
+        gen_algo=gen_algo,
         gen_config=gen_config,
-        policy=policy,
+        policy=None if gen_algo is not None else policy,
         reward_net=reward_net,
         custom_logger=logger,
         allow_variable_horizon=config.get("allow_variable_horizon", True),

@@ -111,7 +111,7 @@ def train_rl(config: Dict[str, Any], run_dir: str, logger) -> Dict[str, Any]:
         policy_apply = sac.sample_fn()
         variables_out = {"params": state.actor_params}
         save_variables = variables_out
-        policy_obj = None
+        policy_obj = sac.policy
     else:
         policy = ActorCriticPolicy(
             observation_space=venv.observation_space,

@@ -176,3 +176,100 @@ def test_train_fused_runs_and_advances(algo_cls, cartpole_demos):
     trainer.train_fused(4 * trainer.gen_train_timesteps, rounds_per_sync=2)
     assert int(trainer.gen_state.n_updates) == 4
     assert int(trainer.disc_state.step) == 4 * trainer.n_disc_updates_per_round
+
+
+# ---------------------------------------------------------------------------
+# SAC generator (reference test_train_adversarial_sac /
+# test_regression_gail_with_sac: any off-policy SB3 algo can generate, with
+# replay relabeled through the current learned reward at sample time)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pendulum_demos():
+    venv = make_vec_env("Pendulum-v1", num_envs=8)
+    return experts.generate_expert_trajectories("Pendulum-v1", venv, min_episodes=6)
+
+
+def make_sac_trainer(algo_cls, demos, **kwargs):
+    from imitation_tpu.rl.sac import SAC, SACConfig
+
+    venv = make_vec_env("Pendulum-v1", num_envs=4)
+    sac = SAC(
+        venv,
+        SACConfig(train_freq=16, batch_size=64, learning_starts=32,
+                  gradient_steps=2),
+        seed=3,
+    )
+    defaults = dict(
+        demonstrations=demos,
+        demo_batch_size=64,
+        venv=venv,
+        gen_algo=sac,
+        n_disc_updates_per_round=2,
+        allow_variable_horizon=True,
+        seed=0,
+    )
+    defaults.update(kwargs)
+    return algo_cls(**defaults)
+
+
+@pytest.mark.parametrize("algo_cls", ALGOS)
+def test_sac_generator_train_no_crash(algo_cls, pendulum_demos):
+    trainer = make_sac_trainer(algo_cls, pendulum_demos)
+    gen_metrics = trainer.train_gen()
+    assert np.isfinite(gen_metrics["critic_loss"])
+    stats = trainer.train_disc()
+    for k in ["disc_loss", "disc_acc", "disc_entropy"]:
+        assert k in stats and np.isfinite(stats[k]), k
+    trainer.train(total_timesteps=2 * trainer.gen_train_timesteps)
+
+
+def test_sac_generator_relabels_replay(pendulum_demos):
+    """The SAC update consumes learned rewards, not env rewards: zeroing the
+    disc variables changes the sampled batch rewards (ReplayBufferRewardWrapper
+    semantics, reference policies/replay_buffer_wrapper.py:26-103)."""
+    import jax.numpy as jnp
+
+    trainer = make_sac_trainer(GAIL, pendulum_demos)
+    sac = trainer.gen_algo
+    trainer.train_gen()
+    state = trainer.gen_state
+    key = jax.random.key(0)
+    batch = sac.replay.sample(state.buffer_state, key, 32)
+    relabeled = sac.relabel_fn(trainer.disc_state.variables, batch)
+    # env rewards in Pendulum are <= 0; GAIL rewards are strictly positive
+    assert float(jnp.min(relabeled.rews)) > 0.0
+    assert float(jnp.max(batch.rews)) <= 0.0
+
+
+def test_sac_log_prob_matches_sample(pendulum_demos):
+    """log_prob_fn evaluated at freshly sampled actions agrees with the
+    sampler's own log-prob (incl. the env-scaling jacobian)."""
+    trainer = make_sac_trainer(AIRL, pendulum_demos)
+    sac = trainer.gen_algo
+    state = sac.init_state()
+    obs = np.random.default_rng(0).normal(size=(16, 3)).astype(np.float32)
+    acts, info = sac.sample_fn()(state.variables, obs, jax.random.key(1))
+    lp = sac.log_prob_fn()(state.variables, obs, acts)
+    # sampler log-prob is for squashed actions; env scaling adds -log|scale|
+    scale = float(np.asarray(sac._act_scale).reshape(-1).prod())
+    np.testing.assert_allclose(
+        np.asarray(lp), np.asarray(info["log_prob"]) - np.log(scale),
+        rtol=1e-3, atol=1e-3,
+    )
+
+
+def test_sac_policy_save_roundtrip(tmp_path, pendulum_demos):
+    from imitation_tpu.policies import serialize as policy_serialize
+
+    trainer = make_sac_trainer(GAIL, pendulum_demos)
+    trainer.train_gen()
+    policy_serialize.save_policy(
+        str(tmp_path / "p"), trainer.policy, trainer.policy_variables
+    )
+    policy2, vars2 = policy_serialize.load_policy_from_path(str(tmp_path / "p"))
+    obs = np.zeros((2, 3), np.float32)
+    a1, _ = trainer.policy.deterministic_fn()(trainer.policy_variables, obs, jax.random.key(0))
+    a2, _ = policy2.deterministic_fn()(vars2, obs, jax.random.key(0))
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-6)

@@ -220,3 +220,31 @@ def test_train_rl_normalize_reward_runs(tmp_path):
         "with", "fast", "normalize_reward=True", f"log_root={tmp_path}",
     ])
     assert np.isfinite(result["return_mean"])
+
+
+@pytest.mark.parametrize("command", ["gail", "airl"])
+def test_train_adversarial_sac(tmp_path, command):
+    """SAC generator through the CLI (reference test_train_adversarial_sac,
+    test_scripts.py: `rl.sac` named config; continuous env required)."""
+    result = train_adversarial.ex.run_cli([
+        command, "with", "fast", "sac", "env_name=Pendulum-v1",
+        f"log_root={tmp_path}",
+    ])
+    assert np.isfinite(result["imit_stats"]["return_mean"])
+    run_dir = _latest_run_dir(tmp_path)
+    gp = run_dir / "checkpoints" / "final" / "gen_policy"
+    cfg = json.loads((gp / "policy_config.json").read_text())
+    assert cfg["policy_type"] == "sac_actor"
+
+
+def test_train_rl_sac_saves_policy(tmp_path):
+    result = train_rl.ex.run_cli([
+        "with", "sac", "fast", "env_name=Pendulum-v1",
+        "total_timesteps=256", f"log_root={tmp_path}",
+    ])
+    assert np.isfinite(result["return_mean"])
+    run_dir = _latest_run_dir(tmp_path)
+    cfg = json.loads(
+        (run_dir / "policies" / "final" / "policy_config.json").read_text()
+    )
+    assert cfg["policy_type"] == "sac_actor"
