@@ -230,6 +230,8 @@ class MCEIRL(base.DemonstrationAlgorithm):
     # -- demonstrations -> state occupancy (reference :402-465) ------------
     def set_demonstrations(self, demonstrations) -> None:
         env = self.env
+        if isinstance(demonstrations, jax.Array):
+            demonstrations = np.asarray(demonstrations)
         if isinstance(demonstrations, np.ndarray):
             # raw occupancy-measure vector
             if demonstrations.shape != (env.n_states,):

@@ -127,3 +127,67 @@ def test_transition_matrix_validation():
     T = np.zeros((2, 1, 2), np.float32)  # rows don't sum to 1
     with pytest.raises(ValueError, match="sum to 1"):
         TabularMDP(T, np.zeros(2), 3)
+
+
+# ---------------------------------------------------------------------------
+# TabularPolicy behavior (reference test_tabular_policy / _randomness /
+# _rollouts) + learned-reward quality gate (test_mce_irl_reasonable_mdp :442)
+# ---------------------------------------------------------------------------
+from imitation_tpu.algorithms.mce_irl import TabularPolicy
+
+
+def test_tabular_policy_validation_and_predict():
+    env = random_mdp(4, 2, horizon=5, seed=1)
+    _, _, pi = mce_partition_fh(env)
+    pol = TabularPolicy(env, np.asarray(pi), rng=0)
+    with pytest.raises(AssertionError):
+        pol.set_pi(np.zeros((env.horizon, env.n_states, env.n_actions)))
+    acts = pol.predict(np.array([0, 1, 2]), np.array([0, 1, 4]))
+    assert acts.shape == (3,)
+    assert ((acts >= 0) & (acts < env.n_actions)).all()
+
+
+def test_tabular_policy_randomness():
+    """A uniform policy samples both actions; a deterministic one never
+    deviates (reference test_tabular_policy_randomness)."""
+    env = det_chain_mdp(horizon=4)
+    uniform = np.full((4, 2, 2), 0.5, np.float32)
+    pol = TabularPolicy(env, uniform, rng=0)
+    acts = pol.predict(np.zeros(200, np.int64), np.zeros(200, np.int64))
+    assert set(np.unique(acts)) == {0, 1}
+    det = np.zeros((4, 2, 2), np.float32)
+    det[:, :, 1] = 1.0
+    pol.set_pi(det)
+    acts = pol.predict(np.zeros(50, np.int64), np.zeros(50, np.int64))
+    assert (acts == 1).all()
+
+
+def test_tabular_rollouts_match_occupancy():
+    """Empirical state visitation from sampled episodes approximates the
+    computed occupancy measure (reference test_policy_om_random_mdp)."""
+    env = random_mdp(4, 3, horizon=6, seed=3)
+    _, _, pi = mce_partition_fh(env)
+    _, D = mce_occupancy_measures(env, pi=pi)
+    trajs = sample_tabular_trajectories(env, pi, 3000, jax.random.key(0))
+    visits = np.zeros(env.n_states)
+    for t in trajs:
+        # obs are one-hot feature rows; recover state ids
+        states = np.argmax(np.asarray(t.obs[:-1]), axis=-1)
+        for s in states:
+            visits[s] += 1
+    visits /= len(trajs)
+    np.testing.assert_allclose(visits, np.asarray(D), atol=0.25)
+
+
+def test_mce_irl_reasonable_mdp_learned_reward_matches_om():
+    """Training to convergence on a random MDP: the learned reward's induced
+    occupancy matches the demo occupancy (reference
+    test_mce_irl_reasonable_mdp)."""
+    env = random_mdp(5, 3, horizon=8, seed=7)
+    _, _, pi_expert = mce_partition_fh(env)
+    _, D_demo = mce_occupancy_measures(env, pi=pi_expert)
+    trainer = MCEIRL(D_demo, env, linf_eps=1e-3)
+    trainer.train(max_iter=500)
+    # induced occupancy from the final policy
+    _, D_learned = mce_occupancy_measures(env, pi=jnp.asarray(trainer.policy.pi))
+    np.testing.assert_allclose(np.asarray(D_learned), np.asarray(D_demo), atol=2e-2)

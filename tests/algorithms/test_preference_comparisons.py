@@ -343,3 +343,203 @@ def test_ensemble_minibatch_grad_accum_no_crash(pendulum_trajs):
     )
     trainer.attach(variables)
     trainer.train(_make_pref_dataset(pendulum_trajs))
+
+
+# ---------------------------------------------------------------------------
+# Additional behavioral parity tests (reference
+# tests/algorithms/test_preference_comparisons.py)
+# ---------------------------------------------------------------------------
+
+
+def test_fragments_terminal(pendulum_trajs):
+    """A fragment is terminal iff it ends exactly at the end of a terminal
+    trajectory (reference test_fragments_terminal)."""
+    frag = pc.RandomFragmenter(rng=0, warning_threshold=0)
+    pairs = frag(pendulum_trajs, fragment_length=20, num_pairs=30)
+    lengths = {len(t) for t in pendulum_trajs}
+    for f1, f2 in pairs:
+        for f in (f1, f2):
+            if f.terminal:
+                # terminal fragments end at an episode end: the final obs of
+                # some source trajectory equals this fragment's final obs
+                assert any(
+                    np.allclose(t.obs[-1], f.obs[-1]) for t in pendulum_trajs
+                )
+    assert lengths  # sanity
+
+
+def test_agent_trainer_populates_buffer_and_samples(pendulum_trajs):
+    venv = make_vec_env("Pendulum-v1", num_envs=4)
+    reward_net = BasicRewardNet(
+        observation_space=venv.observation_space, action_space=venv.action_space
+    )
+    policy = ActorCriticPolicy(
+        observation_space=venv.observation_space, action_space=venv.action_space
+    )
+    ppo = PPO(venv, policy, PPOConfig(n_steps=64, n_minibatches=4, n_epochs=1))
+    at = pc.AgentTrainer(ppo, reward_net, venv, rng=0)
+    at.reward_variables = reward_net.init_variables(jax.random.key(0))
+    at.train(256)
+    # Pendulum truncates at 200; 256 steps x 4 envs may or may not complete
+    # episodes, but sample() must still serve the requested transitions by
+    # topping up with fresh rollouts.
+    trajs = at.sample(400)
+    assert sum(len(t) for t in trajs) >= 400
+    for t in trajs:
+        assert isinstance(t, types.TrajectoryWithRew)
+
+
+def test_agent_trainer_requires_reward_variables(pendulum_trajs):
+    venv = make_vec_env("Pendulum-v1", num_envs=2)
+    reward_net = BasicRewardNet(
+        observation_space=venv.observation_space, action_space=venv.action_space
+    )
+    policy = ActorCriticPolicy(
+        observation_space=venv.observation_space, action_space=venv.action_space
+    )
+    ppo = PPO(venv, policy, PPOConfig(n_steps=8, n_minibatches=1, n_epochs=1))
+    at = pc.AgentTrainer(ppo, reward_net, venv, rng=0)
+    with pytest.raises(RuntimeError, match="reward_variables"):
+        at.train(16)
+
+
+def test_trajectory_dataset_seeding_and_not_static(pendulum_trajs):
+    """Same seed -> same samples; successive samples differ
+    (reference test_trajectory_dataset_seeding / _not_static)."""
+    d1 = pc.TrajectoryDataset(pendulum_trajs, rng=7)
+    d2 = pc.TrajectoryDataset(pendulum_trajs, rng=7)
+    s1 = d1.sample(300)
+    s2 = d2.sample(300)
+    assert len(s1) == len(s2)
+    for a, b in zip(s1, s2):
+        np.testing.assert_array_equal(a.obs, b.obs)
+    s3 = d1.sample(300)
+    assert any(
+        not np.array_equal(a.obs, b.obs) for a, b in zip(s1, s3)
+    ) or len(s1) != len(s3)
+
+
+def test_preference_dataset_save_load_roundtrip(tmp_path, pendulum_trajs):
+    frag = pc.RandomFragmenter(rng=0, warning_threshold=0)
+    pairs = frag(pendulum_trajs, fragment_length=10, num_pairs=4)
+    prefs = np.array([0.0, 1.0, 0.5, 1.0], dtype=np.float32)
+    ds = pc.PreferenceDataset()
+    ds.push(pairs, prefs)
+    path = tmp_path / "prefs.pkl"
+    ds.save(path)
+    ds2 = pc.PreferenceDataset.load(path)
+    assert len(ds2) == len(ds)
+    np.testing.assert_array_equal(ds2.preferences, ds.preferences)
+    (f1a, _), _ = ds[0]
+    (f1b, _), _ = ds2[0]
+    np.testing.assert_array_equal(f1a.obs, f1b.obs)
+
+
+def test_correct_reward_trainer_used_by_default():
+    """Ensemble model gets an EnsembleTrainer, plain net a BasicRewardTrainer
+    (reference test_correct_reward_trainer_used_by_default)."""
+    venv = make_vec_env("Pendulum-v1", num_envs=2)
+    basic = BasicRewardNet(
+        observation_space=venv.observation_space, action_space=venv.action_space
+    )
+    ens = RewardEnsemble(
+        observation_space=venv.observation_space, action_space=venv.action_space,
+        member_cls=BasicRewardNet, num_members=3,
+    )
+    t1 = pc._make_reward_trainer(pc.PreferenceModel(basic))
+    t2 = pc._make_reward_trainer(pc.PreferenceModel(ens))
+    assert type(t1) is pc.BasicRewardTrainer
+    assert type(t2) is pc.EnsembleTrainer
+
+
+def test_ensemble_trainer_requires_ensemble_model(reward_net):
+    with pytest.raises(TypeError, match="RewardEnsemble"):
+        pc.EnsembleTrainer(pc.PreferenceModel(reward_net))
+
+
+def test_discount_rate_no_crash(pendulum_trajs):
+    """Discounted preference model end-to-end (reference
+    test_discount_rate_no_crash)."""
+    venv = make_vec_env("Pendulum-v1", num_envs=2)
+    net = BasicRewardNet(
+        observation_space=venv.observation_space, action_space=venv.action_space
+    )
+    model = pc.PreferenceModel(net, discount_factor=0.9)
+    variables = net.init_variables(jax.random.key(0))
+    frag = pc.RandomFragmenter(rng=0, warning_threshold=0)
+    pairs = frag(pendulum_trajs, fragment_length=10, num_pairs=4)
+    batch = pc.FragmentBatch.from_pairs(
+        pairs, np.zeros(len(pairs), np.float32)
+    )
+    probs = model(variables, batch)
+    assert probs.shape == (4,)
+    assert bool(jnp.all((probs >= 0) & (probs <= 1)))
+
+
+def test_reward_trainer_reproducible(reward_net, pendulum_trajs):
+    """Same rng seed -> identical trained parameters (reference
+    test_trainer_reproducible)."""
+    frag = pc.RandomFragmenter(rng=0, warning_threshold=0)
+    pairs = frag(pendulum_trajs, fragment_length=10, num_pairs=8)
+    prefs = np.linspace(0, 1, 8).astype(np.float32)
+
+    def run(seed):
+        ds = pc.PreferenceDataset()
+        ds.push(pairs, prefs)
+        trainer = pc.BasicRewardTrainer(
+            pc.PreferenceModel(reward_net), rng=seed, epochs=2, batch_size=4
+        )
+        trainer.attach(reward_net.init_variables(jax.random.key(0)))
+        trainer.train(ds)
+        return jax.device_get(trainer.variables["params"])
+
+    p1, p2, p3 = run(5), run(5), run(6)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(a, b)
+    assert any(
+        not np.allclose(a, b)
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p3))
+    )
+
+
+def test_normalized_reward_stats_update_through_loop(pendulum_trajs):
+    """With a NormalizedRewardNet, relabel-time stats fold into the
+    orchestrator's reward variables over training (reference relabels with
+    update_stats=True, reward_nets.py:613-671)."""
+    from imitation_tpu.models.networks import RunningNorm
+    from imitation_tpu.rewards.reward_nets import NormalizedRewardNet
+
+    venv = make_vec_env("Pendulum-v1", num_envs=4)
+    base = BasicRewardNet(
+        observation_space=venv.observation_space, action_space=venv.action_space
+    )
+    net = NormalizedRewardNet(
+        observation_space=venv.observation_space, action_space=venv.action_space,
+        base=base, normalize_cls=RunningNorm,
+    )
+    policy = ActorCriticPolicy(
+        observation_space=venv.observation_space, action_space=venv.action_space
+    )
+    ppo = PPO(venv, policy, PPOConfig(n_steps=16, n_minibatches=2, n_epochs=1))
+    at = pc.AgentTrainer(ppo, net, venv, rng=0)
+    main = pc.PreferenceComparisons(
+        at, net, num_iterations=2, fragment_length=10,
+        initial_epoch_multiplier=1, rng=0,
+    )
+    count_before = float(
+        jax.tree.leaves(
+            {"c": main.reward_variables["stats"]}
+        )[0].sum()
+    )
+    main.train(total_timesteps=128, total_comparisons=10)
+    stats = main.reward_variables["stats"]
+    leaves = jax.tree_util.tree_leaves_with_path(stats)
+    counts = [v for p, v in leaves if "count" in jax.tree_util.keystr(p)]
+    assert counts and float(counts[0]) > count_before
+    # trainer's copy stays in sync so the next reward-training epoch sees
+    # the same stats
+    t_leaves = jax.tree_util.tree_leaves_with_path(
+        main.reward_trainer.variables["stats"]
+    )
+    t_counts = [v for p, v in t_leaves if "count" in jax.tree_util.keystr(p)]
+    assert float(t_counts[0]) == float(counts[0])
