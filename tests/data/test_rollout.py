@@ -118,3 +118,64 @@ def test_generate_transitions_truncate():
     apply_fn, params = random_policy_for(venv)
     tr = rollout.generate_transitions(apply_fn, params, venv, 30, rng=3, chunk_size=16)
     assert len(tr) == 30
+
+
+# ---------------------------------------------------------------------------
+# Reference parity: completeness, seeding, unbiased episode collection
+# (reference tests/data/test_rollout.py test_complete_trajectories /
+# test_seed_trajectories / test_unbiased_trajectories)
+# ---------------------------------------------------------------------------
+
+
+def test_complete_trajectories():
+    """Every returned trajectory is a complete episode: terminal flag set,
+    obs one longer than acts."""
+    venv = make_vec_env("CartPole-v1", num_envs=4, max_episode_steps=30)
+    policy, params = random_policy_for(venv)
+    trajs = rollout.generate_trajectories(
+        policy, params, venv, rollout.make_min_episodes(9), rng=0
+    )
+    assert len(trajs) >= 9
+    for t in trajs:
+        # complete = ended by termination (terminal=True) or by the time
+        # limit (terminal=False at exactly the horizon) — reference
+        # Trajectory semantics (types.py:336: terminal False = truncation)
+        assert t.terminal or len(t) == 30
+        assert len(t.obs) == len(t.acts) + 1
+        assert len(t) <= 30
+
+
+def test_seed_trajectories_reproducible():
+    venv = make_vec_env("CartPole-v1", num_envs=4, max_episode_steps=30)
+    policy, params = random_policy_for(venv)
+    t1 = rollout.generate_trajectories(policy, params, venv, rollout.make_min_episodes(5), rng=42)
+    t2 = rollout.generate_trajectories(policy, params, venv, rollout.make_min_episodes(5), rng=42)
+    t3 = rollout.generate_trajectories(policy, params, venv, rollout.make_min_episodes(5), rng=43)
+    assert len(t1) == len(t2)
+    for a, b in zip(t1, t2):
+        np.testing.assert_array_equal(np.asarray(a.acts), np.asarray(b.acts))
+        np.testing.assert_array_equal(np.asarray(a.obs), np.asarray(b.obs))
+    assert len(t1) != len(t3) or any(
+        not np.array_equal(np.asarray(a.acts), np.asarray(b.acts))
+        for a, b in zip(t1, t3)
+    )
+
+
+def test_unbiased_trajectories():
+    """min_timesteps collection must not under-represent long episodes
+    (reference test_unbiased_trajectories: episodes completing later in the
+    chunk still appear; the output is shuffled, not truncated to the
+    shortest)."""
+    venv = make_vec_env("CartPole-v1", num_envs=8, max_episode_steps=50)
+    policy, params = random_policy_for(venv)
+    trajs = rollout.generate_trajectories(
+        policy, params, venv, rollout.make_min_timesteps(600), rng=1
+    )
+    lengths = np.array([len(t) for t in trajs])
+    assert lengths.sum() >= 600
+    # CartPole random-policy episodes are mostly short but occasionally long;
+    # with 600+ steps collected the sample must contain length diversity
+    # (a biased collector that keeps only first-finishers collapses this).
+    assert lengths.max() > lengths.min()
+    # order is shuffled: not sorted by length
+    assert not (np.all(np.diff(lengths) >= 0) or np.all(np.diff(lengths) <= 0))
