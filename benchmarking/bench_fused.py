@@ -62,19 +62,26 @@ def main() -> None:
         for _ in range(tr.n_disc_updates_per_round):
             tr.train_disc(sync=False)
 
+    print("compiling per-round path...", flush=True)
+    t0 = time.perf_counter()
     one_round()
     jax.block_until_ready((tr.gen_state.variables, tr.disc_state.variables))
+    print(f"per-round compile+first {time.perf_counter() - t0:.1f}s", flush=True)
     t0 = time.perf_counter()
     for _ in range(args.rounds):
         one_round()
     jax.block_until_ready((tr.gen_state.variables, tr.disc_state.variables))
     el = time.perf_counter() - t0
     results["per_round"] = args.rounds * n_steps * num_envs / el
+    print(json.dumps({"path": "per_round", "steps_per_s": round(results["per_round"], 1)}), flush=True)
 
     # --- fused scanned path -----------------------------------------------
     tr2 = make_trainer()
+    print("compiling fused path...", flush=True)
+    t0 = time.perf_counter()
     tr2.train_fused(args.rps * tr2.gen_train_timesteps, rounds_per_sync=args.rps)  # warmup+compile
     jax.block_until_ready((tr2.gen_state.variables, tr2.disc_state.variables))
+    print(f"fused compile+first {time.perf_counter() - t0:.1f}s", flush=True)
     t0 = time.perf_counter()
     tr2.train_fused(args.rounds * tr2.gen_train_timesteps, rounds_per_sync=args.rps)
     jax.block_until_ready((tr2.gen_state.variables, tr2.disc_state.variables))

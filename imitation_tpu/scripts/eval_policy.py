@@ -30,6 +30,11 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     "reward_type": None,
     "reward_path": None,
     "explore_kwargs": None,  # {"switch_prob":..., "random_prob":...}
+    # Video recording (reference eval_policy.py videos/video_kwargs):
+    # replays the policy in a render-capable gymnasium env and writes
+    # mp4s (npz frame-dump fallback) under <run_dir>/videos.
+    "videos": False,
+    "video_kwargs": {},  # {"single_video": bool, "fps": int, "episodes": int}
 }
 
 ex = Experiment("eval_policy", DEFAULT_CONFIG)
@@ -96,11 +101,45 @@ def eval_policy(config: Dict[str, Any], run_dir: str, logger) -> Dict[str, Any]:
             )
         trajs = relabeled
 
+    if config["videos"]:
+        _record_videos(config, run_dir, policy_apply, params)
+
     stats = dict(rollout_mod.rollout_stats(trajs))
     for k, v in stats.items():
         logger.record(k, v)
     logger.dump(0)
     return stats
+
+
+def _record_videos(config, run_dir, policy_apply, params) -> None:
+    """Replays the policy in a render-capable gymnasium env through
+    VideoWrapper (reference eval_policy.py: video_wrapper post-wrapper)."""
+    import gymnasium as gym
+    import jax
+    import numpy as np
+
+    from imitation_tpu.util.video_wrapper import VideoWrapper
+
+    vk = dict(config.get("video_kwargs") or {})
+    episodes = vk.pop("episodes", 1)
+    env = gym.make(config["env_name"], render_mode="rgb_array")
+    if config.get("max_episode_steps"):
+        env = gym.wrappers.TimeLimit(env, config["max_episode_steps"])
+    video_dir = os.path.join(run_dir, "videos")
+    env = VideoWrapper(env, directory=video_dir, **vk)
+    key = jax.random.key(config["seed"])
+    for _ in range(episodes):
+        obs, _ = env.reset(seed=config["seed"])
+        done = False
+        while not done:
+            key, sub = jax.random.split(key)
+            acts, _ = policy_apply(params, np.asarray(obs)[None], sub)
+            act = np.asarray(acts)[0]
+            if np.issubdtype(np.asarray(env.action_space.sample()).dtype, np.integer):
+                act = int(act)
+            obs, _, term, trunc, _ = env.step(act)
+            done = bool(term or trunc)
+    env.close()
 
 
 if __name__ == "__main__":

@@ -248,3 +248,18 @@ def test_train_rl_sac_saves_policy(tmp_path):
         (run_dir / "policies" / "final" / "policy_config.json").read_text()
     )
     assert cfg["policy_type"] == "sac_actor"
+
+
+def test_eval_policy_videos(tmp_path):
+    """Video recording through eval_policy (reference eval_policy videos
+    config + VideoWrapper post-wrapper)."""
+    result = eval_policy.ex.run_cli([
+        "with", "fast", "videos=True",
+        "video_kwargs={'episodes': 1, 'fps': 10}",
+        f"log_root={tmp_path}",
+    ])
+    assert "return_mean" in result
+    run_dir = _latest_run_dir(tmp_path)
+    vids = list((run_dir / "videos").iterdir())
+    assert vids, "no video files written"
+    assert vids[0].suffix in (".mp4", ".npz")
