@@ -47,7 +47,10 @@ DEFAULT_CONFIG: Dict[str, Any] = {
                "normalize_output_layer": "running"},
     "reward_trainer": {"epochs": 3, "batch_size": 32, "lr": 1e-3},
     "gatherer": {"temperature": 1.0, "discount_factor": 1.0, "sample": True},
-    "rl": {"n_steps": 128, "batch_size": 64, "n_epochs": 4, "learning_rate": 3e-4},
+    # algo: "ppo" | "sac" — SAC = the PEBBLE configuration (reference rl.sac
+    # named config + SAC1024Policy, ingredients/rl.py:104-120)
+    "rl": {"algo": "ppo", "n_steps": 128, "batch_size": 64, "n_epochs": 4,
+           "learning_rate": 3e-4, "train_freq": 64, "learning_starts": 100},
     "trajectory_path": None,  # static dataset instead of an agent
 }
 
@@ -70,6 +73,7 @@ ex.named_config("active", {"reward": {"ensemble": True, "active_selection": True
 ex.named_config("normalize_output_disable", {"reward": {"normalize_output_layer": None}})
 ex.named_config("normalize_output_running", {"reward": {"normalize_output_layer": "running"}})
 ex.named_config("normalize_output_ema", {"reward": {"normalize_output_layer": "ema"}})
+ex.named_config("sac", {"rl": {"algo": "sac"}})
 
 
 @ex.main
@@ -109,6 +113,24 @@ def train_preference_comparisons(config: Dict[str, Any], run_dir: str, logger):
             traj_serialize.load(config["trajectory_path"]), rng=config["seed"]
         )
         agent = None
+    elif rl_cfg.get("algo", "ppo") == "sac":
+        from imitation_tpu.rl.sac import SAC, SACConfig
+
+        sac = SAC(
+            venv,
+            SACConfig(
+                learning_rate=rl_cfg["learning_rate"],
+                train_freq=rl_cfg.get("train_freq", 64),
+                batch_size=rl_cfg["batch_size"],
+                learning_starts=rl_cfg.get("learning_starts", 100),
+            ),
+            seed=config["seed"],
+        )
+        trajectory_generator = pc.SACAgentTrainer(
+            sac, reward_net, venv, rng=config["seed"],
+            exploration_frac=config["exploration_frac"],
+        )
+        agent = trajectory_generator
     else:
         policy = ActorCriticPolicy(
             observation_space=venv.observation_space,

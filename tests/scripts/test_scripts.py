@@ -263,3 +263,18 @@ def test_eval_policy_videos(tmp_path):
     vids = list((run_dir / "videos").iterdir())
     assert vids, "no video files written"
     assert vids[0].suffix in (".mp4", ".npz")
+
+
+def test_train_preference_comparisons_sac(tmp_path):
+    """PEBBLE-style RLHF through the CLI: SAC generator with replay
+    relabeling (reference test_train_preference_comparisons_sac)."""
+    result = train_preference_comparisons.ex.run_cli([
+        "with", "fast", "sac", "env_name=Pendulum-v1",
+        f"log_root={tmp_path}",
+    ])
+    assert result["reward_loss"] is not None
+    run_dir = _latest_run_dir(tmp_path)
+    cfg = json.loads(
+        (run_dir / "checkpoints" / "final" / "policy" / "policy_config.json").read_text()
+    )
+    assert cfg["policy_type"] == "sac_actor"
