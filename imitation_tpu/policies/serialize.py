@@ -81,6 +81,7 @@ def save_policy(path: str, policy: Any, variables: Any) -> None:
             "normalize_features": policy.normalize_features,
             "log_std_init": policy.log_std_init,
             "activation": act_name,
+            "features": getattr(policy, "features", "flatten"),
         }
     with open(os.path.join(path, POLICY_CONFIG), "w") as f:
         json.dump(config, f, indent=2)
@@ -117,6 +118,7 @@ def load_policy_from_path(path: str) -> Tuple[ActorCriticPolicy, Any]:
         normalize_features=config["normalize_features"],
         log_std_init=config["log_std_init"],
         activation=activations[config.get("activation", "tanh")],
+        features=config.get("features", "flatten"),
     )
     template = policy.init(jax.random.key(0))
     with open(os.path.join(path, POLICY_VARS), "rb") as f:

@@ -20,6 +20,9 @@ ENV_DEFAULTS = {
     "env_name": "CartPole-v1",
     "num_envs": 8,  # reference default num_vec=8 (ingredients/environment.py:17)
     "max_episode_steps": None,
+    # Extra kwargs forwarded to the env constructor (reference
+    # ingredients/environment.py env_make_kwargs).
+    "env_make_kwargs": {},
 }
 
 EVAL_DEFAULTS = {
@@ -33,6 +36,7 @@ def make_venv_from_config(config: Dict[str, Any]) -> VectorEnv:
         config["env_name"],
         num_envs=config.get("num_envs", 8),
         max_episode_steps=config.get("max_episode_steps"),
+        **(config.get("env_make_kwargs") or {}),
     )
 
 

@@ -56,6 +56,10 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     # Warm-start: dir of a saved policy to continue training from
     # (reference ingredients/rl.py:199-231 agent_path).
     "agent_path": None,
+    # Policy architecture (reference policy ingredient: FeedForward32Policy
+    # default, CnnPolicy for image envs).
+    "policy": {"hid_sizes": [32, 32], "normalize_features": False,
+               "features": "flatten"},
 }
 
 ex = Experiment("train_rl", DEFAULT_CONFIG)
@@ -70,6 +74,10 @@ ex.named_config("fast", {
 ex.named_config("sac", {"rl": {"algo": "sac"}})
 ex.named_config("pendulum", {"env_name": "Pendulum-v1"})
 ex.named_config("cartpole", {"env_name": "CartPole-v1"})
+# CnnPolicy equivalent for image observations (reference train_rl
+# policy=CnnPolicy runs, tests/scripts/test_scripts.py
+# test_train_rl_cnn_policy).
+ex.named_config("cnn_policy", {"policy": {"features": "nature_cnn"}})
 
 
 @ex.main
@@ -113,9 +121,13 @@ def train_rl(config: Dict[str, Any], run_dir: str, logger) -> Dict[str, Any]:
         save_variables = variables_out
         policy_obj = sac.policy
     else:
+        pol_cfg = config.get("policy", {})
         policy = ActorCriticPolicy(
             observation_space=venv.observation_space,
             action_space=venv.action_space,
+            hid_sizes=tuple(pol_cfg.get("hid_sizes", (32, 32))),
+            normalize_features=pol_cfg.get("normalize_features", False),
+            features=pol_cfg.get("features", "flatten"),
         )
         batch = rl_cfg["n_steps"] * venv.num_envs
         n_minibatches = max(1, batch // rl_cfg.get("batch_size", 64))

@@ -94,3 +94,20 @@ def test_rlhf_cnn_reward_on_image_env(car_venv):
     trainer.train(ds)
     loss1 = trainer._eval_loss(trainer.variables, ds.as_batch())
     assert np.isfinite(loss0) and np.isfinite(loss1)
+
+
+def test_train_rl_cnn_policy_script(tmp_path, car_venv):
+    """train_rl with the cnn_policy named config on a real image env
+    (reference test_train_rl_cnn_policy)."""
+    del car_venv  # ensures CarRacing availability (skips otherwise)
+    from imitation_tpu.scripts import train_rl
+
+    result = train_rl.ex.run_cli([
+        "with", "fast", "cnn_policy", "env_name=CarRacing-v3",
+        "env_make_kwargs={'continuous': False}",
+        "total_timesteps=64", "num_envs=2", "max_episode_steps=8",
+        "n_episodes_eval=1", "rollout_save_n_episodes=1",
+        "rl={'n_steps': 8, 'batch_size': 8, 'n_epochs': 1}",
+        f"log_root={tmp_path}",
+    ])
+    assert np.isfinite(result["return_mean"])
