@@ -543,3 +543,64 @@ def test_normalized_reward_stats_update_through_loop(pendulum_trajs):
     )
     t_counts = [v for p, v in t_leaves if "count" in jax.tree_util.keystr(p)]
     assert float(t_counts[0]) == float(counts[0])
+
+
+def _ensemble_model():
+    venv = make_vec_env("Pendulum-v1", num_envs=2)
+    ens = RewardEnsemble(
+        observation_space=venv.observation_space, action_space=venv.action_space,
+        member_cls=BasicRewardNet, num_members=3,
+    )
+    return pc.PreferenceModel(ens), ens
+
+
+def test_active_fragmenter_uncertainty_on_not_supported():
+    model, _ = _ensemble_model()
+    with pytest.raises(ValueError, match="not supported"):
+        pc.ActiveSelectionFragmenter(
+            preference_model=model,
+            base_fragmenter=pc.RandomFragmenter(rng=0, warning_threshold=0),
+            fragment_sample_factor=2.0,
+            uncertainty_on="bogus",
+        )
+
+
+@pytest.mark.parametrize("uncertainty_on", ["logit", "probability", "label"])
+def test_active_fragmenter_uncertainty_modes(pendulum_trajs, uncertainty_on):
+    model, ens = _ensemble_model()
+    frag = pc.ActiveSelectionFragmenter(
+        preference_model=model,
+        base_fragmenter=pc.RandomFragmenter(rng=0, warning_threshold=0),
+        fragment_sample_factor=2.0,
+        uncertainty_on=uncertainty_on,
+    )
+    frag.variables = ens.init_variables(jax.random.key(0))
+    pairs = frag(pendulum_trajs, fragment_length=10, num_pairs=3)
+    assert len(pairs) == 3
+
+
+def test_orchestrator_bad_query_schedule_raises(pendulum_trajs):
+    with pytest.raises(ValueError, match="query schedule"):
+        pc.PreferenceComparisons(
+            pc.TrajectoryDataset(pendulum_trajs, rng=0),
+            BasicRewardNet(
+                observation_space=make_vec_env("Pendulum-v1", num_envs=2).observation_space,
+                action_space=make_vec_env("Pendulum-v1", num_envs=2).action_space,
+            ),
+            num_iterations=2,
+            query_schedule="bogus",
+        )
+
+
+def test_orchestrator_bad_initial_comparison_frac_raises(pendulum_trajs):
+    venv = make_vec_env("Pendulum-v1", num_envs=2)
+    with pytest.raises(ValueError, match="initial_comparison_frac"):
+        pc.PreferenceComparisons(
+            pc.TrajectoryDataset(pendulum_trajs, rng=0),
+            BasicRewardNet(
+                observation_space=venv.observation_space,
+                action_space=venv.action_space,
+            ),
+            num_iterations=2,
+            initial_comparison_frac=1.5,
+        )
