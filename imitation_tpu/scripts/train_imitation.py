@@ -169,10 +169,20 @@ def sqil_cmd(config: Dict[str, Any], run_dir: str, logger) -> Dict[str, Any]:
     venv = ingredients.make_venv_from_config(config)
     demos = ingredients.get_expert_trajectories(config, venv)
     s_cfg = config["sqil"]
+    from imitation_tpu.rl.sac import SACConfig
+
     sqil = SQIL(
         venv=venv,
         demonstrations=demos,
+        # rl_algo "auto": DQN on discrete, SAC on continuous envs (the
+        # reference accepts any OffPolicyAlgorithm; SQIL-SAC is its
+        # continuous variant).
         dqn_config=DQNConfig(
+            learning_starts=s_cfg["learning_starts"],
+            batch_size=s_cfg["batch_size"],
+            learning_rate=s_cfg["learning_rate"],
+        ),
+        sac_config=SACConfig(
             learning_starts=s_cfg["learning_starts"],
             batch_size=s_cfg["batch_size"],
             learning_rate=s_cfg["learning_rate"],

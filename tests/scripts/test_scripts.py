@@ -278,3 +278,13 @@ def test_train_preference_comparisons_sac(tmp_path):
         (run_dir / "checkpoints" / "final" / "policy" / "policy_config.json").read_text()
     )
     assert cfg["policy_type"] == "sac_actor"
+
+
+def test_train_sqil_continuous_sac_variant(tmp_path):
+    """SQIL auto-selects the SAC variant on continuous envs
+    (reference test_sqil_*_continuous via OffPolicyAlgorithm)."""
+    result = train_imitation.ex.run_cli([
+        "sqil", "with", "fast", "env_name=Pendulum-v1",
+        f"log_root={tmp_path}",
+    ])
+    assert np.isfinite(result["imit_stats"]["return_mean"])
