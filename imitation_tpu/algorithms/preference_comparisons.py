@@ -141,6 +141,42 @@ def _get_trajectories(
     return trajectories
 
 
+def _make_relabel_fn(reward_net: RewardNet, relabel_alpha: Optional[float]):
+    """Jittable (variables, s, a, s', d) -> rewards used to relabel the
+    generator's training reward.
+
+    ``relabel_alpha`` requires an ensemble: rewards become
+    mean + alpha*std over members — the reference's risk-sensitive
+    ``add_std_alpha`` path (AddSTDRewardWrapper, reward_nets.py:1019-1078,
+    wired by ingredients/reward.py add_std_alpha). Stats stay frozen inside
+    the jitted step; AgentTrainer._fold_reward_stats applies the
+    update_stats=True semantics outside it.
+    """
+    if relabel_alpha is not None:
+        if not hasattr(reward_net, "predict_reward_moments"):
+            raise TypeError(
+                "relabel_alpha requires an ensemble reward net "
+                "(predict_reward_moments)",
+            )
+
+        def relabel_fn(reward_variables, obs, acts, next_obs, dones):
+            mean, var = reward_net.apply(
+                reward_variables, obs, acts, next_obs, dones,
+                method="predict_reward_moments",
+            )
+            return mean + relabel_alpha * jnp.sqrt(var)
+
+        return relabel_fn
+
+    def relabel_fn(reward_variables, obs, acts, next_obs, dones):
+        return reward_net.apply(
+            reward_variables, obs, acts, next_obs, dones, False,
+            method="predict_processed",
+        )
+
+    return relabel_fn
+
+
 class AgentTrainer(TrajectoryGenerator):
     """PPO generator trained on the learned reward (reference :127-317).
 
@@ -162,6 +198,7 @@ class AgentTrainer(TrajectoryGenerator):
         exploration_frac: float = 0.0,
         switch_prob: float = 0.5,
         random_prob: float = 0.5,
+        relabel_alpha: Optional[float] = None,
         custom_logger: Optional[HierarchicalLogger] = None,
     ):
         super().__init__(custom_logger=custom_logger)
@@ -173,14 +210,7 @@ class AgentTrainer(TrajectoryGenerator):
             rng if isinstance(rng, np.random.Generator) else np.random.default_rng(rng)
         )
 
-        def relabel_fn(reward_variables, obs, acts, next_obs, dones):
-            # Frozen stats inside the jitted step; _fold_reward_stats applies
-            # the reference's update_stats=True semantics outside it.
-            return reward_net.apply(
-                reward_variables, obs, acts, next_obs, dones, False,
-                method="predict_processed",
-            )
-
+        relabel_fn = _make_relabel_fn(reward_net, relabel_alpha)
         algorithm.reward_fn = relabel_fn
         algorithm.return_transitions = True
         algorithm.rebind()
@@ -311,6 +341,7 @@ class SACAgentTrainer(TrajectoryGenerator):
         venv: VectorEnv,
         rng: Union[int, np.random.Generator] = 0,
         exploration_frac: float = 0.0,
+        relabel_alpha: Optional[float] = None,
         custom_logger: Optional[HierarchicalLogger] = None,
     ):
         super().__init__(custom_logger=custom_logger)
@@ -321,16 +352,11 @@ class SACAgentTrainer(TrajectoryGenerator):
         self.rng = (
             rng if isinstance(rng, np.random.Generator) else np.random.default_rng(rng)
         )
+        point_fn = _make_relabel_fn(reward_net, relabel_alpha)
 
         def relabel_fn(reward_params, batch):
-            rews = reward_net.apply(
-                reward_params,
-                batch.obs,
-                batch.acts,
-                batch.next_obs,
-                batch.dones,
-                False,  # frozen stats inside jit (see AgentTrainer)
-                method="predict_processed",
+            rews = point_fn(
+                reward_params, batch.obs, batch.acts, batch.next_obs, batch.dones
             )
             return batch.replace(rews=rews)
 

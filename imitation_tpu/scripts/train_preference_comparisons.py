@@ -42,9 +42,11 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     "query_schedule": "hyperbolic",
     # normalize_output_layer: "running" | "ema" | None — reference defaults
     # RunningNorm output normalization (reference ingredients/reward.py:23).
+    # add_std_alpha: with an ensemble, relabel with mean + alpha*std
+    # (reference ingredients/reward.py add_std_alpha + AddSTDRewardWrapper).
     "reward": {"ensemble": False, "num_members": 3, "active_selection": False,
                "active_selection_oversampling": 2.0, "uncertainty_on": "logit",
-               "normalize_output_layer": "running"},
+               "normalize_output_layer": "running", "add_std_alpha": None},
     "reward_trainer": {"epochs": 3, "batch_size": 32, "lr": 1e-3},
     "gatherer": {"temperature": 1.0, "discount_factor": 1.0, "sample": True},
     # algo: "ppo" | "sac" — SAC = the PEBBLE configuration (reference rl.sac
@@ -129,6 +131,7 @@ def train_preference_comparisons(config: Dict[str, Any], run_dir: str, logger):
         trajectory_generator = pc.SACAgentTrainer(
             sac, reward_net, venv, rng=config["seed"],
             exploration_frac=config["exploration_frac"],
+            relabel_alpha=r_cfg.get("add_std_alpha"),
         )
         agent = trajectory_generator
     else:
@@ -150,6 +153,7 @@ def train_preference_comparisons(config: Dict[str, Any], run_dir: str, logger):
         trajectory_generator = pc.AgentTrainer(
             ppo, reward_net, venv, rng=config["seed"],
             exploration_frac=config["exploration_frac"],
+            relabel_alpha=r_cfg.get("add_std_alpha"),
         )
         agent = trajectory_generator
 

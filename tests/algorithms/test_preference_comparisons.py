@@ -604,3 +604,36 @@ def test_orchestrator_bad_initial_comparison_frac_raises(pendulum_trajs):
             num_iterations=2,
             initial_comparison_frac=1.5,
         )
+
+
+def test_relabel_alpha_requires_ensemble(reward_net):
+    venv = make_vec_env("Pendulum-v1", num_envs=2)
+    policy = ActorCriticPolicy(
+        observation_space=venv.observation_space, action_space=venv.action_space
+    )
+    ppo = PPO(venv, policy, PPOConfig(n_steps=8, n_minibatches=1, n_epochs=1))
+    with pytest.raises(TypeError, match="ensemble"):
+        pc.AgentTrainer(ppo, reward_net, venv, rng=0, relabel_alpha=0.5)
+
+
+def test_relabel_alpha_adds_std(pendulum_trajs):
+    """relabel_alpha shifts relabeled rewards by alpha*std over members
+    (reference AddSTDRewardWrapper, reward_nets.py:1019-1078)."""
+    model, ens = _ensemble_model()
+    variables = ens.init_variables(jax.random.key(0))
+    fn0 = pc._make_relabel_fn(ens, 0.0)
+    fn2 = pc._make_relabel_fn(ens, 2.0)
+    fn_none = pc._make_relabel_fn(ens, None)
+    obs = jnp.ones((5, 3))
+    acts = jnp.ones((5, 1))
+    dones = jnp.zeros((5,))
+    r0 = fn0(variables, obs, acts, obs, dones)
+    r2 = fn2(variables, obs, acts, obs, dones)
+    rn = fn_none(variables, obs, acts, obs, dones)
+    mean, var = ens.apply(variables, obs, acts, obs, dones,
+                          method="predict_reward_moments")
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(mean), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(r2), np.asarray(mean + 2.0 * jnp.sqrt(var)), rtol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(rn), np.asarray(mean), rtol=1e-5)
