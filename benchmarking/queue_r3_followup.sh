@@ -15,6 +15,12 @@ echo "[followup] $(date +%H:%M:%S) queue done" | tee -a "$LOG_DIR/queue.log"
 
 left() { echo $(( HARD_END - $(date +%s) )); }
 
+if (( $(left) > 2000 )); then
+  echo "[followup] $(date +%H:%M:%S) start bench_fused" | tee -a "$LOG_DIR/queue.log"
+  timeout 1800 python -m benchmarking.bench_fused > "$LOG_DIR/bench_fused2.log" 2>&1
+  echo "[followup] $(date +%H:%M:%S) done bench_fused rc=$?" | tee -a "$LOG_DIR/queue.log"
+fi
+
 if (( $(left) > 1500 )); then
   echo "[followup] $(date +%H:%M:%S) start bench_kernels" | tee -a "$LOG_DIR/queue.log"
   timeout 1200 python -m benchmarking.bench_kernels > "$LOG_DIR/bench_kernels2.log" 2>&1
