@@ -246,9 +246,16 @@ class AgentTrainer(TrajectoryGenerator):
         normalizer (reference relabels with ``update_stats=True``,
         reward_nets.py:613-671; stats collections are immutable inside the
         jitted train step, so the fold is one tiny separate jitted apply)."""
-        from imitation_tpu.rewards.reward_nets import NormalizedRewardNet
+        from imitation_tpu.rewards.reward_nets import (
+            NormalizedRewardNet,
+            RewardEnsemble,
+        )
 
-        if not isinstance(self.reward_net, NormalizedRewardNet):
+        normalized = isinstance(self.reward_net, NormalizedRewardNet) or (
+            isinstance(self.reward_net, RewardEnsemble)
+            and self.reward_net.member_normalize_cls is not None
+        )
+        if not normalized:
             return
         if self._fold_stats_jit is None:
 
@@ -530,6 +537,17 @@ class PreferenceModel:
             action_space=self.model.action_space,
             **(self.model.member_kwargs or {}),
         )
+        if getattr(self.model, "member_normalize_cls", None) is not None:
+            # normalized members: wrap so the per-member param tree matches
+            # (training applies the raw forward = base reward either way)
+            from imitation_tpu.rewards.reward_nets import NormalizedRewardNet
+
+            member_net = NormalizedRewardNet(
+                observation_space=self.model.observation_space,
+                action_space=self.model.action_space,
+                base=member_net,
+                normalize_cls=self.model.member_normalize_cls,
+            )
         member_vars = {"params": variables["params"]["members"]}
         if "stats" in variables:
             member_vars["stats"] = variables["stats"]["members"]

@@ -334,19 +334,39 @@ class RewardEnsemble(RewardNet):
     member_cls: Type[RewardNet] = None
     num_members: int = 3
     member_kwargs: dict = None
+    # Per-member output normalization (reference reward_ensemble config:
+    # ensemble_member_config.normalize_output_layer = RunningNorm,
+    # ingredients/reward.py:54-66). Each member's predict_processed
+    # standardizes with its OWN running stats; training still sees raw
+    # member outputs.
+    member_normalize_cls: Optional[Type] = None
 
     def setup(self):
         if self.num_members < 2:
             raise ValueError("Must be at least 2 member in the ensemble.")
-        member_kwargs = self.member_kwargs or {}
+        member_kwargs = dict(self.member_kwargs or {})
+        base_cls = self.member_cls
+        if self.member_normalize_cls is not None:
+            inner = base_cls(
+                observation_space=self.observation_space,
+                action_space=self.action_space,
+                **member_kwargs,
+            )
+            member_kwargs = {
+                "base": inner,
+                "normalize_cls": self.member_normalize_cls,
+            }
+            base_cls = NormalizedRewardNet
         VmapMember = nn.vmap(
-            self.member_cls,
+            base_cls,
             in_axes=None,
             out_axes=0,
             axis_size=self.num_members,
             variable_axes={"params": 0, "stats": 0},
             split_rngs={"params": True},
-            methods=["__call__", "predict_processed"],
+            methods=["__call__", "predict_processed", "_init_paths"]
+            if base_cls is NormalizedRewardNet
+            else ["__call__", "predict_processed"],
         )
         self.members = VmapMember(
             observation_space=self.observation_space,
@@ -380,6 +400,24 @@ class RewardEnsemble(RewardNet):
             obs, acts, next_obs, dones, update_stats=update_stats
         )
         return mean
+
+    def _init_paths(self, obs, acts, next_obs, dones):
+        # trace both member paths at init so normalized members' stats
+        # variables exist (see NormalizedRewardNet._init_paths)
+        if self.member_normalize_cls is not None:
+            self.members._init_paths(obs, acts, next_obs, dones)
+        else:
+            self.members(obs, acts, next_obs, dones)
+        return self.members.predict_processed(obs, acts, next_obs, dones, False)
+
+    def init_variables(self, key: jax.Array, batch: int = 2):
+        obs = jnp.zeros((batch,) + self.observation_space.shape, jnp.float32)
+        if self.action_space.is_discrete:
+            acts = jnp.zeros((batch,), jnp.int32)
+        else:
+            acts = jnp.zeros((batch,) + self.action_space.shape, jnp.float32)
+        dones = jnp.zeros((batch,), jnp.float32)
+        return self.init(key, obs, acts, obs, dones, method="_init_paths")
 
 
 class AddSTDRewardWrapper(RewardNet):

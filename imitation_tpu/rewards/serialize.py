@@ -66,6 +66,10 @@ def _net_config(net: reward_nets.RewardNet, net_kwargs: Dict[str, Any]) -> Dict[
         cls_name = "RewardEnsemble"
         net_kwargs.setdefault("num_members", net.num_members)
         net_kwargs.setdefault("member_cls", net.member_cls.__name__)
+        if net.member_normalize_cls is not None:
+            net_kwargs.setdefault(
+                "member_normalize_cls", net.member_normalize_cls.__name__
+            )
     return {"net_class": cls_name, "net_kwargs": net_kwargs}
 
 
@@ -112,10 +116,14 @@ def _build_net(config: Dict[str, Any], obs_space, act_space) -> reward_nets.Rewa
         return reward_nets.BasicShapedRewardNet(obs_space, act_space, **kwargs)
     if cls_name == "RewardEnsemble":
         member_cls = _NET_CLASSES[kwargs.pop("member_cls", "BasicRewardNet")]
+        norm_name = kwargs.pop("member_normalize_cls", None)
+        if norm_name is not None:
+            norm_name = getattr(networks_mod, norm_name)
         return reward_nets.RewardEnsemble(
             observation_space=obs_space,
             action_space=act_space,
             member_cls=member_cls,
+            member_normalize_cls=norm_name,
             **kwargs,
         )
     return cls(observation_space=obs_space, action_space=act_space, **kwargs)

@@ -83,11 +83,22 @@ def train_preference_comparisons(config: Dict[str, Any], run_dir: str, logger):
     venv = ingredients.make_venv_from_config(config)
     r_cfg = config["reward"]
     if r_cfg["ensemble"]:
+        # Ensembles normalize at the MEMBER level (reference reward_ensemble
+        # named config: ensemble_member_config.normalize_output_layer =
+        # RunningNorm, ensemble-level normalization off).
+        member_norm = None
+        if r_cfg.get("normalize_output_layer"):
+            from imitation_tpu.models.networks import EMANorm, RunningNorm
+
+            member_norm = {"running": RunningNorm, "ema": EMANorm}[
+                r_cfg["normalize_output_layer"]
+            ]
         reward_net = RewardEnsemble(
             observation_space=venv.observation_space,
             action_space=venv.action_space,
             member_cls=BasicRewardNet,
             num_members=r_cfg["num_members"],
+            member_normalize_cls=member_norm,
         )
     else:
         reward_net = BasicRewardNet(

@@ -177,3 +177,74 @@ class TestValidation:
         np.testing.assert_allclose(
             r2, np.asarray(mean + 2.0 * jnp.sqrt(var)), rtol=1e-5
         )
+
+
+class TestNormalizedMemberEnsemble:
+    """Member-level output normalization (reference reward_ensemble config:
+    ensemble_member_config.normalize_output_layer = RunningNorm)."""
+
+    def make(self, key=0):
+        ens = RewardEnsemble(
+            observation_space=OBS, action_space=ACT,
+            member_cls=BasicRewardNet, num_members=3,
+            member_normalize_cls=RunningNorm,
+        )
+        return ens, ens.init_variables(jax.random.key(key))
+
+    def test_init_has_per_member_stats(self):
+        ens, v = self.make()
+        assert "stats" in v
+        leaves = jax.tree_util.tree_leaves_with_path(v["stats"])
+        norm = [x for p, x in leaves if "normalizer" in jax.tree_util.keystr(p)]
+        assert norm and norm[0].shape[0] == 3  # member axis
+
+    def test_training_forward_is_raw(self):
+        ens, v = self.make()
+        o, a, no, d = batch()
+        raw = ens.apply(v, o, a, no, d)
+        assert raw.shape == (3, 4)
+
+    def test_predict_processed_uses_member_stats(self):
+        ens, v = self.make()
+        o, a, no, d = batch(32)
+        _, mut = ens.apply(
+            v, o, a, no, d, True, method="predict_processed", mutable=["stats"]
+        )
+        v2 = {**v, "stats": mut["stats"]}
+        out = ens.apply(v2, o, a, no, d, False, method="predict_processed")
+        # per-member standardization then mean: near zero on the folded batch
+        assert abs(float(np.asarray(out).mean())) < 0.3
+        # raw outputs unchanged by stats
+        np.testing.assert_allclose(
+            np.asarray(ens.apply(v, o, a, no, d)),
+            np.asarray(ens.apply(v2, o, a, no, d)),
+        )
+
+    def test_serialize_roundtrip(self, tmp_path):
+        ens, v = self.make()
+        o, a, no, d = batch()
+        raw = np.asarray(ens.apply(v, o, a, no, d))
+        rs.save_reward_net(str(tmp_path), ens, v)
+        ens2, v2 = rs.load_reward_net(str(tmp_path))
+        assert ens2.member_normalize_cls is RunningNorm
+        np.testing.assert_allclose(raw, np.asarray(ens2.apply(v2, o, a, no, d)), rtol=1e-6)
+
+    def test_member_training_path_param_tree_matches(self):
+        """EnsembleTrainer's standalone member reconstruction applies the
+        vmapped member params without tree mismatch."""
+        from imitation_tpu.algorithms import preference_comparisons as pc
+
+        ens, v = self.make()
+        model = pc.PreferenceModel(ens)
+        obs = np.zeros((2, 2, 6, 3), np.float32)  # [N, 2, L+1, obs]
+        acts = np.zeros((2, 2, 5, 2), np.float32)
+        dones = np.zeros((2, 2, 5), np.float32)
+        b = pc.FragmentBatch(
+            obs=jnp.asarray(np.repeat(obs[None], 3, 0)),
+            acts=jnp.asarray(np.repeat(acts[None], 3, 0)),
+            dones=jnp.asarray(np.repeat(dones[None], 3, 0)),
+            rews_gt=jnp.zeros((3, 2, 2, 5)),
+            prefs=jnp.zeros((3, 2)),
+        )
+        rews = model.member_fragment_rewards(v, b)
+        assert rews.shape == (3, 2, 2, 5)
