@@ -167,3 +167,37 @@ def test_dagger_on_host_env(tmp_path):
     )
     assert trainer.round_num >= 1
     venv.close()
+
+
+def test_forbidden_decay_probability_on_exp_beta_schedule():
+    """Reference test_forbidden_decay_probability_on_exp_beta_schedule."""
+    with pytest.raises(ValueError, match="decay_probability"):
+        dagger.ExponentialBetaSchedule(1.5)
+    with pytest.raises(ValueError, match="decay_probability"):
+        dagger.ExponentialBetaSchedule(-0.1)
+    # boundary values are legal
+    assert dagger.ExponentialBetaSchedule(1.0)(3) == 1.0
+    assert dagger.ExponentialBetaSchedule(0.0)(1) == 0.0
+
+
+def test_collector_reproducible(tmp_path):
+    """Same seed -> identical collected demos; different seed differs
+    (reference test_traj_collector_reproducible / _seed)."""
+
+    def collect(seed, tag):
+        trainer = make_trainer(str(tmp_path / f"d{tag}"), beta_schedule=lambda r: 0.5)
+        collector = trainer.create_trajectory_collector()
+        return collector.collect_trajectories(
+            experts.cartpole_expert_fn, {}, rollout.make_min_episodes(2), seed=seed
+        )
+
+    a = collect(3, "a")
+    b = collect(3, "b")
+    c = collect(4, "c")
+    assert len(a) == len(b)
+    for t1, t2 in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(t1.acts), np.asarray(t2.acts))
+    assert len(a) != len(c) or any(
+        not np.array_equal(np.asarray(t1.acts), np.asarray(t2.acts))
+        for t1, t2 in zip(a, c)
+    )
