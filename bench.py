@@ -71,25 +71,49 @@ def main():
         seed=0,
     )
 
-    def one_round():
-        trainer.train_gen(sync=False)
-        for _ in range(trainer.n_disc_updates_per_round):
-            trainer.train_disc(sync=False)
+    import sys
 
-    # Warmup / compile. (The scanned multi-round `train_fused` path measured
-    # slower on the tunneled single chip than async-dispatched per-round
-    # programs, so the timed loop uses the per-round path.)
-    one_round()
-    jax.block_until_ready((trainer.gen_state.variables, trainer.disc_state.variables))
+    fused = "--fused" in sys.argv or os.environ.get("BENCH_FUSED") == "1"
+    if fused:
+        # Scanned multi-round program: rounds_per_sync rounds per dispatch
+        # (the jitted program is cached on the trainer; see
+        # adversarial/common.py train_fused).
+        rps = 8
+        trainer.train_fused(rps * trainer.gen_train_timesteps, rounds_per_sync=rps)
+        jax.block_until_ready(
+            (trainer.gen_state.variables, trainer.disc_state.variables)
+        )
+        n_rounds = 16
+        t0 = time.perf_counter()
+        trainer.train_fused(
+            n_rounds * trainer.gen_train_timesteps, rounds_per_sync=rps
+        )
+        jax.block_until_ready(
+            (trainer.gen_state.variables, trainer.disc_state.variables)
+        )
+        elapsed = time.perf_counter() - t0
+    else:
+        def one_round():
+            trainer.train_gen(sync=False)
+            for _ in range(trainer.n_disc_updates_per_round):
+                trainer.train_disc(sync=False)
 
-    n_rounds = 10
-    t0 = time.perf_counter()
-    for _ in range(n_rounds):
+        # Warmup / compile.
         one_round()
-    # Block on BOTH chains: generator variables and the final round's disc
-    # updates, so the last disc programs are inside the timed window.
-    jax.block_until_ready((trainer.gen_state.variables, trainer.disc_state.variables))
-    elapsed = time.perf_counter() - t0
+        jax.block_until_ready(
+            (trainer.gen_state.variables, trainer.disc_state.variables)
+        )
+
+        n_rounds = 10
+        t0 = time.perf_counter()
+        for _ in range(n_rounds):
+            one_round()
+        # Block on BOTH chains: generator variables and the final round's
+        # disc updates, so the last disc programs are inside the timed window.
+        jax.block_until_ready(
+            (trainer.gen_state.variables, trainer.disc_state.variables)
+        )
+        elapsed = time.perf_counter() - t0
 
     steps = n_rounds * n_steps * num_envs
     steps_per_s = steps / elapsed
