@@ -169,3 +169,40 @@ def test_hard_interleaved_contexts(tmp_path):
     assert rows[1]["no_context"] == "2"
     raw_disc = read_csv(tmp_path / "raw" / "disc" / "progress.csv")
     assert [r.get("raw/disc/D", "") for r in raw_disc] == ["2", "", "", "100"]
+
+
+def test_wandb_format_import_error(monkeypatch):
+    """Requesting wandb output without wandb installed raises a clear error
+    (reference test_wandb_module_import_error)."""
+    import builtins
+    import importlib
+
+    import imitation_tpu.util.logger as logmod
+
+    real_import = builtins.__import__
+
+    def fake_import(name, *args, **kwargs):
+        if name == "wandb":
+            raise ModuleNotFoundError("No module named 'wandb'")
+        return real_import(name, *args, **kwargs)
+
+    monkeypatch.setattr(builtins, "__import__", fake_import)
+    with pytest.raises(ModuleNotFoundError, match="wandb"):
+        logmod.WandbOutputFormat()
+
+
+def test_wandb_format_logs_via_stub(monkeypatch, tmp_path):
+    """WandbOutputFormat forwards records to wandb.log (reference
+    test_wandb_output_format)."""
+    import sys
+    import types as pytypes
+
+    import imitation_tpu.util.logger as logmod
+
+    calls = []
+    stub = pytypes.ModuleType("wandb")
+    stub.log = lambda kvs, step=None: calls.append((dict(kvs), step))
+    monkeypatch.setitem(sys.modules, "wandb", stub)
+    fmt = logmod.WandbOutputFormat()
+    fmt.write({"a": 1.0, "b": 2.0}, step=7)
+    assert calls == [({"a": 1.0, "b": 2.0}, 7)]
