@@ -142,6 +142,15 @@ def dagger_cmd(config: Dict[str, Any], run_dir: str, logger) -> Dict[str, Any]:
         custom_logger=logger,
         allow_variable_horizon=True,
     )
+    if config.get("agent_path"):
+        # warm-start the DAgger robot policy (reference
+        # test_train_dagger_warmstart / ingredients/bc.py:63-83)
+        import dataclasses
+
+        from imitation_tpu.policies import serialize as policy_serialize
+
+        _, warm_vars = policy_serialize.load_policy_from_path(config["agent_path"])
+        bc_trainer.state = dataclasses.replace(bc_trainer.state, variables=warm_vars)
     trainer = SimpleDAggerTrainer(
         venv=venv,
         scratch_dir=os.path.join(run_dir, "scratch"),

@@ -288,3 +288,15 @@ def test_train_sqil_continuous_sac_variant(tmp_path):
         f"log_root={tmp_path}",
     ])
     assert np.isfinite(result["imit_stats"]["return_mean"])
+
+
+def test_train_dagger_warm_start(tmp_path):
+    """agent_path warm-starts the DAgger robot policy
+    (reference test_train_dagger_warmstart)."""
+    train_rl.ex.run_cli(["with", "fast", f"log_root={tmp_path / 'a'}"])
+    policy_dir = _latest_run_dir(tmp_path / "a") / "policies" / "final"
+    result = train_imitation.ex.run_cli([
+        "dagger", "with", "fast", f"log_root={tmp_path / 'b'}",
+        f"agent_path={policy_dir}",
+    ])
+    assert np.isfinite(result["imit_stats"]["return_mean"])
