@@ -191,3 +191,21 @@ def test_mce_irl_reasonable_mdp_learned_reward_matches_om():
     # induced occupancy from the final policy
     _, D_learned = mce_occupancy_measures(env, pi=jnp.asarray(trainer.policy.pi))
     np.testing.assert_allclose(np.asarray(D_learned), np.asarray(D_demo), atol=2e-2)
+
+
+def test_mceirl_transitions_demo_format_raises():
+    """Transitions lack episode structure for discounted OM; MCE IRL rejects
+    them with a clear error (reference accepts them only undiscounted;
+    mce_irl.py:402-465)."""
+    from imitation_tpu.data import types
+
+    env = random_mdp(4, 2, horizon=5, seed=0)
+    t = types.Transitions(
+        obs=np.zeros((4, env.n_states), np.float32),
+        acts=np.zeros((4,), np.int64),
+        infos=None,
+        next_obs=np.zeros((4, env.n_states), np.float32),
+        dones=np.zeros((4,), bool),
+    )
+    with pytest.raises(TypeError, match="occupancy-measure|trajectories"):
+        MCEIRL(t, env)
