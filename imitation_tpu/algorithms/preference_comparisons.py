@@ -372,6 +372,7 @@ class SACAgentTrainer(TrajectoryGenerator):
         self.state = algorithm.init_state()
         self.reward_variables: Any = None
         self._explorer = ExplorationWrapper(algorithm.sample_fn(), venv)
+        self._fold_stats_jit = None
 
     def train(self, steps: int, **kwargs: Any) -> None:
         if self.reward_variables is None:
@@ -379,6 +380,40 @@ class SACAgentTrainer(TrajectoryGenerator):
         self.state = self.algorithm.learn(
             self.state, steps, reward_params=self.reward_variables
         )
+        self._fold_reward_stats()
+
+    def _fold_reward_stats(self) -> None:
+        """Folds a replay sample into a NormalizedRewardNet's output
+        normalizer (update_stats=True relabel semantics; mirrors
+        AgentTrainer._fold_reward_stats for the off-policy generator)."""
+        from imitation_tpu.rewards.reward_nets import (
+            NormalizedRewardNet,
+            RewardEnsemble,
+        )
+
+        normalized = isinstance(self.reward_net, NormalizedRewardNet) or (
+            isinstance(self.reward_net, RewardEnsemble)
+            and self.reward_net.member_normalize_cls is not None
+        )
+        if not normalized:
+            return
+        if self._fold_stats_jit is None:
+
+            def fold(variables, key, buffer_state):
+                batch = self.algorithm.replay.sample(buffer_state, key, 256)
+                _, mut = self.reward_net.apply(
+                    variables, batch.obs, batch.acts, batch.next_obs,
+                    batch.dones, True,
+                    method="predict_processed", mutable=["stats"],
+                )
+                return mut["stats"]
+
+            self._fold_stats_jit = jax.jit(fold)
+        key = jax.random.key(int(self.rng.integers(0, 2**31 - 1)))
+        stats = self._fold_stats_jit(
+            self.reward_variables, key, self.state.buffer_state
+        )
+        self.reward_variables = {**self.reward_variables, "stats": stats}
 
     def sample(self, steps: int) -> Sequence[types.TrajectoryWithRew]:
         agent_steps = int(steps * (1 - self.exploration_frac))

@@ -637,3 +637,30 @@ def test_relabel_alpha_adds_std(pendulum_trajs):
         np.asarray(r2), np.asarray(mean + 2.0 * jnp.sqrt(var)), rtol=1e-5
     )
     np.testing.assert_allclose(np.asarray(rn), np.asarray(mean), rtol=1e-5)
+
+
+def test_sac_agent_trainer_folds_normalizer_stats(pendulum_trajs):
+    """PEBBLE + NormalizedRewardNet: replay-relabel stats update after
+    train() (mirrors the PPO AgentTrainer fold)."""
+    from imitation_tpu.models.networks import RunningNorm
+    from imitation_tpu.rewards.reward_nets import NormalizedRewardNet
+    from imitation_tpu.rl.sac import SAC, SACConfig
+
+    venv = make_vec_env("Pendulum-v1", num_envs=2)
+    net = NormalizedRewardNet(
+        observation_space=venv.observation_space, action_space=venv.action_space,
+        base=BasicRewardNet(
+            observation_space=venv.observation_space,
+            action_space=venv.action_space,
+        ),
+        normalize_cls=RunningNorm,
+    )
+    sac = SAC(venv, SACConfig(train_freq=8, batch_size=32, learning_starts=16), seed=0)
+    at = pc.SACAgentTrainer(sac, net, venv, rng=0)
+    at.reward_variables = net.init_variables(jax.random.key(0))
+    leaves0 = jax.tree_util.tree_leaves_with_path(at.reward_variables["stats"])
+    count0 = float([v for p, v in leaves0 if "count" in jax.tree_util.keystr(p)][0])
+    at.train(64)
+    leaves1 = jax.tree_util.tree_leaves_with_path(at.reward_variables["stats"])
+    count1 = float([v for p, v in leaves1 if "count" in jax.tree_util.keystr(p)][0])
+    assert count1 > count0
