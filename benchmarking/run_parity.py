@@ -266,16 +266,26 @@ RUNNERS = {"bc": run_bc, "dagger": run_dagger}
 
 def record(algo, env_key, seed, final, extra=None):
     os.makedirs(os.path.dirname(OUT_PATH), exist_ok=True)
-    results = {}
-    if os.path.exists(OUT_PATH):
-        with open(OUT_PATH) as f:
-            results = json.load(f)
     entry = {"return": final, "seed": seed, "ts": time.time()}
     if extra:
         entry.update(extra)
-    results.setdefault(f"{algo}/{env_key}", []).append(entry)
-    with open(OUT_PATH, "w") as f:
-        json.dump(results, f, indent=1)
+    # Concurrent runners (chip queue + CPU-backend seed runs) append here;
+    # serialize the read-modify-write under an flock.
+    import fcntl
+
+    lock_path = OUT_PATH + ".lock"
+    with open(lock_path, "w") as lock_f:
+        fcntl.flock(lock_f, fcntl.LOCK_EX)
+        try:
+            results = {}
+            if os.path.exists(OUT_PATH):
+                with open(OUT_PATH) as f:
+                    results = json.load(f)
+            results.setdefault(f"{algo}/{env_key}", []).append(entry)
+            with open(OUT_PATH, "w") as f:
+                json.dump(results, f, indent=1)
+        finally:
+            fcntl.flock(lock_f, fcntl.LOCK_UN)
 
 
 def main():
