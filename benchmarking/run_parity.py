@@ -231,6 +231,7 @@ def run_adversarial(algo: str, env_key: str, seed: int, total_override=None):
     n_rounds = max(1, int(total) // trainer.gen_train_timesteps)
     log_every = max(1, n_rounds // 40)
     history = []
+    globals()["_LIVE_HISTORY"] = history  # read by the SIGTERM handler
     hist_path = os.path.join(
         os.path.dirname(OUT_PATH), f"{algo}_{env_key}_s{seed}_history.json"
     )
@@ -300,14 +301,35 @@ def main():
     args = ap.parse_args()
 
     t0 = time.time()
+
+    # timeout(1) kills with SIGTERM; record the partial result (latest eval
+    # from the history callback) instead of losing the whole run.
+    import signal
+
+    class _Term(Exception):
+        pass
+
+    signal.signal(signal.SIGTERM, lambda *a: (_ for _ in ()).throw(_Term()))
+
     if args.algo in RUNNERS:
         final = RUNNERS[args.algo](args.env_key, args.seed, args.total_timesteps)
         extra = {}
     else:
-        final, history = run_adversarial(
-            args.algo, args.env_key, args.seed, args.total_timesteps
-        )
-        extra = {"history": history}
+        try:
+            final, history = run_adversarial(
+                args.algo, args.env_key, args.seed, args.total_timesteps
+            )
+            extra = {"history": history}
+        except _Term:
+            hist = globals().get("_LIVE_HISTORY") or []
+            if not hist:
+                raise
+            final = hist[-1].get("return5", float("nan"))
+            extra = {"history": hist, "partial": True,
+                     "wall_s": time.time() - t0}
+            record(args.algo, args.env_key, args.seed, final, extra)
+            print(f"partial result recorded after SIGTERM: {final:.1f}")
+            raise SystemExit(143)
     extra["wall_s"] = time.time() - t0
     if args.total_timesteps:
         extra["total_timesteps_override"] = args.total_timesteps
