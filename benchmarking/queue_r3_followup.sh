@@ -30,6 +30,7 @@ run_item() {
 }
 
 run_item bench_warm 1500 python bench.py
+run_item bench_kernels2 600 python -m benchmarking.bench_kernels
 run_item airl_half_cheetah 4500 python -m benchmarking.run_parity airl seals_half_cheetah --seed 0 --total-timesteps 6000000
 run_item bench_fused2 1500 python -m benchmarking.bench_fused
 echo "[followup] $(date +%H:%M:%S) complete" | tee -a "$LOG_DIR/queue.log"
