@@ -52,7 +52,12 @@ class DQNConfig:
     gamma: float = 0.99
     train_freq: int = 4  # env steps (per env) per train_step collect
     gradient_steps: int = 1
-    target_update_interval: int = 1000  # in collected env steps
+    # In collected env steps, ACROSS all parallel envs. SB3's default is
+    # 10000; too-frequent copies (e.g. 1000 steps / 8 envs = a copy every
+    # ~30 gradient updates) let the bootstrap target chase the online net
+    # and Q-values diverge (measured: q_mean 2000+ on CartPole, greedy
+    # return ~10; at 10000, greedy return 196/200).
+    target_update_interval: int = 10_000
     exploration_fraction: float = 0.1
     exploration_initial_eps: float = 1.0
     exploration_final_eps: float = 0.05

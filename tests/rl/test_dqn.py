@@ -1,0 +1,83 @@
+"""DQN learner tests: epsilon schedule, TD mechanics, learning gate.
+
+The reference delegates DQN to SB3 (SQIL default algo, sqil.py:26); these
+tests define our jitted learner's contract.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from imitation_tpu.envs import make_vec_env
+from imitation_tpu.rl.dqn import DQN, DQNConfig
+
+
+@pytest.fixture
+def dqn():
+    venv = make_vec_env("CartPole-v1", num_envs=4, max_episode_steps=100)
+    return DQN(
+        venv,
+        DQNConfig(
+            learning_starts=64, batch_size=32, train_freq=8,
+            learning_rate=1e-3,
+        ),
+        seed=0,
+    )
+
+
+def test_continuous_action_space_rejected():
+    venv = make_vec_env("Pendulum-v1", num_envs=2)
+    with pytest.raises(ValueError):
+        DQN(venv, DQNConfig())
+
+
+def test_epsilon_schedule_decays(dqn):
+    e0 = float(dqn.epsilon(jnp.asarray(0)))
+    e_mid = float(dqn.epsilon(jnp.asarray(10_000)))
+    e_end = float(dqn.epsilon(jnp.asarray(10**7)))
+    assert e0 >= e_mid >= e_end
+    assert e0 > e_end
+
+
+def test_train_step_advances_state(dqn):
+    state = dqn.init_state()
+    state2, metrics = dqn._train_step_jit(state)
+    assert int(state2.timesteps) > int(state.timesteps)
+    assert np.isfinite(float(metrics["loss"])) or int(state2.timesteps) < 64
+
+
+def test_greedy_fn_returns_valid_actions(dqn):
+    state = dqn.init_state()
+    obs = jnp.zeros((5, 4))
+    acts, _ = dqn.greedy_fn()(state.variables, obs, jax.random.key(0))
+    acts = np.asarray(acts)
+    assert acts.shape == (5,)
+    assert ((acts >= 0) & (acts < 2)).all()
+
+
+@pytest.mark.slow
+def test_dqn_improves_cartpole():
+    from imitation_tpu.data import rollout
+
+    venv = make_vec_env("CartPole-v1", num_envs=8, max_episode_steps=200)
+    dqn = DQN(
+        venv,
+        DQNConfig(learning_starts=1000, batch_size=128, train_freq=4,
+                  learning_rate=5e-4, target_update_interval=10_000),
+        seed=0,
+    )
+    state = dqn.init_state()
+
+    def ret(variables, seed):
+        trajs = rollout.generate_trajectories(
+            dqn.greedy_fn(), variables, venv,
+            rollout.make_min_episodes(10), rng=seed,
+        )
+        return float(np.mean([t.rews.sum() for t in trajs]))
+
+    before = ret(state.variables, 1)
+    state = dqn.learn(state, 200_000)
+    after = ret(state.variables, 2)
+    assert after > before + 80, f"{before} -> {after}"
