@@ -73,6 +73,15 @@ def main():
 
     import sys
 
+    def force(trainer):
+        """Barrier that cannot lie: fetch a scalar computed from BOTH chains'
+        final states. On the tunneled axon platform jax.block_until_ready
+        has been observed returning before remote execution completes
+        (measured a 65x-inflated rate); a device->host value fetch cannot."""
+        g = sum(x.sum() for x in jax.tree.leaves(trainer.gen_state.variables))
+        d = sum(x.sum() for x in jax.tree.leaves(trainer.disc_state.variables))
+        return float(g) + float(d)
+
     fused = "--fused" in sys.argv or os.environ.get("BENCH_FUSED") == "1"
     if fused:
         # Scanned multi-round program: rounds_per_sync rounds per dispatch
@@ -80,17 +89,13 @@ def main():
         # adversarial/common.py train_fused).
         rps = 8
         trainer.train_fused(rps * trainer.gen_train_timesteps, rounds_per_sync=rps)
-        jax.block_until_ready(
-            (trainer.gen_state.variables, trainer.disc_state.variables)
-        )
+        force(trainer)
         n_rounds = 16
         t0 = time.perf_counter()
         trainer.train_fused(
             n_rounds * trainer.gen_train_timesteps, rounds_per_sync=rps
         )
-        jax.block_until_ready(
-            (trainer.gen_state.variables, trainer.disc_state.variables)
-        )
+        force(trainer)
         elapsed = time.perf_counter() - t0
     else:
         def one_round():
@@ -100,19 +105,15 @@ def main():
 
         # Warmup / compile.
         one_round()
-        jax.block_until_ready(
-            (trainer.gen_state.variables, trainer.disc_state.variables)
-        )
+        force(trainer)
 
         n_rounds = 10
         t0 = time.perf_counter()
         for _ in range(n_rounds):
             one_round()
-        # Block on BOTH chains: generator variables and the final round's
-        # disc updates, so the last disc programs are inside the timed window.
-        jax.block_until_ready(
-            (trainer.gen_state.variables, trainer.disc_state.variables)
-        )
+        # Fetch from BOTH chains: generator variables and the final round's
+        # disc updates are inside the timed window.
+        force(trainer)
         elapsed = time.perf_counter() - t0
 
     steps = n_rounds * n_steps * num_envs

@@ -16,6 +16,14 @@ import json
 import time
 
 
+def force(jax, tr):
+    """Fetch-based barrier (block_until_ready can return early on the
+    tunneled axon platform; a device->host value fetch cannot)."""
+    g = sum(x.sum() for x in jax.tree.leaves(tr.gen_state.variables))
+    d = sum(x.sum() for x in jax.tree.leaves(tr.disc_state.variables))
+    return float(g) + float(d)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rounds", type=int, default=16)
@@ -65,12 +73,12 @@ def main() -> None:
     print("compiling per-round path...", flush=True)
     t0 = time.perf_counter()
     one_round()
-    jax.block_until_ready((tr.gen_state.variables, tr.disc_state.variables))
+    force(jax, tr)
     print(f"per-round compile+first {time.perf_counter() - t0:.1f}s", flush=True)
     t0 = time.perf_counter()
     for _ in range(args.rounds):
         one_round()
-    jax.block_until_ready((tr.gen_state.variables, tr.disc_state.variables))
+    force(jax, tr)
     el = time.perf_counter() - t0
     results["per_round"] = args.rounds * n_steps * num_envs / el
     print(json.dumps({"path": "per_round", "steps_per_s": round(results["per_round"], 1)}), flush=True)
@@ -80,11 +88,11 @@ def main() -> None:
     print("compiling fused path...", flush=True)
     t0 = time.perf_counter()
     tr2.train_fused(args.rps * tr2.gen_train_timesteps, rounds_per_sync=args.rps)  # warmup+compile
-    jax.block_until_ready((tr2.gen_state.variables, tr2.disc_state.variables))
+    force(jax, tr2)
     print(f"fused compile+first {time.perf_counter() - t0:.1f}s", flush=True)
     t0 = time.perf_counter()
     tr2.train_fused(args.rounds * tr2.gen_train_timesteps, rounds_per_sync=args.rps)
-    jax.block_until_ready((tr2.gen_state.variables, tr2.disc_state.variables))
+    force(jax, tr2)
     el = time.perf_counter() - t0
     results["fused"] = args.rounds * n_steps * num_envs / el
 

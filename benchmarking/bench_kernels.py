@@ -56,7 +56,7 @@ def main() -> None:
             "pallas_us": round(t_pallas * 1e6, 1),
         }), flush=True)
 
-    for B, F in ((2048, 8), (2048, 64), (8192, 32)):
+    for B, F in ((2048, 128), (2048, 256), (8192, 128)):
         N, C = 16384, 16384
         demo = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
         gen = jnp.asarray(rng.normal(size=(C, F)).astype(np.float32))

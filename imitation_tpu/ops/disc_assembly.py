@@ -145,7 +145,11 @@ def assemble_rows(
     if (
         jax.default_backend() == "tpu"
         and demo.ndim == 2
+        and demo.shape[1] % 128 == 0
         and jnp.issubdtype(demo.dtype, jnp.floating)
     ):
+        # Row DMAs must be lane-aligned (mosaic tiling: last dim % 128).
+        # Below 128 features a row is <512 bytes — far under a DMA granule —
+        # and XLA's vectorized gather is the right tool anyway.
         return assemble_rows_pallas(demo, gen, e_idx, g_idx)
     return jnp.concatenate([demo[e_idx], gen[g_idx]])
