@@ -15,15 +15,22 @@ import json
 import time
 
 
-def timeit(fn, *args, iters: int = 50) -> float:
+def force(out):
+    """Fetch-based barrier: block_until_ready can return early on the
+    tunneled axon platform; a device->host value fetch cannot."""
     import jax
+    import jax.numpy as jnp
 
+    return float(sum(jnp.sum(x) for x in jax.tree.leaves(out)))
+
+
+def timeit(fn, *args, iters: int = 50) -> float:
     out = fn(*args)
-    jax.block_until_ready(out)
+    force(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    force(out)
     return (time.perf_counter() - t0) / iters
 
 
