@@ -56,7 +56,12 @@ class PhaseTimer:
             yield
         finally:
             if block_on is not None:
-                jax.block_until_ready(block_on)
+                # Fetch (not block_until_ready): on the tunneled axon
+                # platform block_until_ready can return before remote
+                # execution completes; a device->host value fetch cannot.
+                for leaf in jax.tree.leaves(block_on):
+                    if hasattr(leaf, "sum"):
+                        float(leaf.sum())
             dt = time.perf_counter() - t0
             self.totals[name] += dt
             self.counts[name] += 1
