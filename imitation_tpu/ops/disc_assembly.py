@@ -142,14 +142,11 @@ def assemble_rows(
     Accepts [N] (scalar-feature) and [N, F] inputs; non-float or >2D inputs
     always take the XLA path.
     """
-    if (
-        jax.default_backend() == "tpu"
-        and demo.ndim == 2
-        and demo.shape[1] % 128 == 0
-        and jnp.issubdtype(demo.dtype, jnp.floating)
-    ):
-        # Row DMAs must be lane-aligned (mosaic tiling: last dim % 128).
-        # Below 128 features a row is <512 bytes — far under a DMA granule —
-        # and XLA's vectorized gather is the right tool anyway.
-        return assemble_rows_pallas(demo, gen, e_idx, g_idx)
+    # MEASURED NEGATIVE RESULT (benchmarking/bench_kernels.py, real v5e):
+    # XLA gather+concat 820us vs per-row-DMA kernel 985us at [2048, 128];
+    # at F=256 the HBM memref tiling (8,128) rejects 1-row slices outright.
+    # Scattered sub-KB row copies are below DMA granularity — XLA's
+    # vectorized gather is the right tool at every practical shape, so it
+    # is ALWAYS the default; the kernel above remains as the documented
+    # exploration (correct in interpret mode and compilable at F=128).
     return jnp.concatenate([demo[e_idx], gen[g_idx]])
