@@ -312,7 +312,11 @@ def main():
     signal.signal(signal.SIGTERM, lambda *a: (_ for _ in ()).throw(_Term()))
 
     if args.algo in RUNNERS:
-        final = RUNNERS[args.algo](args.env_key, args.seed, args.total_timesteps)
+        try:
+            final = RUNNERS[args.algo](args.env_key, args.seed, args.total_timesteps)
+        except _Term:
+            print("SIGTERM before completion; nothing recorded")
+            raise SystemExit(143)
         extra = {}
     else:
         try:
