@@ -100,6 +100,28 @@ _REFERENCE_RETURNS = {
 }
 
 
+def latest_per_seed(entries: Sequence[dict]) -> Dict[int, dict]:
+    """Deduplicates result rows to one entry per seed.
+
+    Policy (explicit per VERDICT r2 'results hygiene'): a COMPLETE run
+    always supersedes a partial (SIGTERM-interrupted) one for the same
+    seed; among runs of equal completeness the latest timestamp wins
+    (reruns supersede earlier results).
+    """
+    by_seed: Dict[int, dict] = {}
+    for e in entries:
+        s = e.get("seed", 0)
+        cur = by_seed.get(s)
+        if cur is None:
+            by_seed[s] = e
+            continue
+        rank_new = (not e.get("partial", False), e.get("ts", 0))
+        rank_cur = (not cur.get("partial", False), cur.get("ts", 0))
+        if rank_new >= rank_cur:
+            by_seed[s] = e
+    return by_seed
+
+
 def parity_markdown(
     results_path: str = os.path.join("output", "parity", "results.json"),
     experts_path: str = os.path.join("output", "experts", "summary.json"),
@@ -117,12 +139,7 @@ def parity_markdown(
         "|---|---|---|---|---|---|---|",
     ]
     for key in sorted(results):
-        # Latest entry per seed (reruns supersede earlier results).
-        by_seed: Dict[int, dict] = {}
-        for e in results[key]:
-            s = e.get("seed", 0)
-            if s not in by_seed or e.get("ts", 0) >= by_seed[s].get("ts", 0):
-                by_seed[s] = e
+        by_seed = latest_per_seed(results[key])
         returns = np.asarray([by_seed[s]["return"] for s in sorted(by_seed)])
         env_key = key.split("/", 1)[1]
         exp = experts.get(env_key)

@@ -397,10 +397,17 @@ class SACAgentTrainer(TrajectoryGenerator):
         )
         if not normalized:
             return
+        # Match the learner's own sample size, and skip folding until the
+        # buffer actually holds that many rows — a with-replacement sample
+        # over a near-empty buffer would over-weight its few transitions in
+        # the normalizer stats.
+        n_fold = int(self.algorithm.config.batch_size)
+        if int(self.state.buffer_state.size) < n_fold:
+            return
         if self._fold_stats_jit is None:
 
             def fold(variables, key, buffer_state):
-                batch = self.algorithm.replay.sample(buffer_state, key, 256)
+                batch = self.algorithm.replay.sample(buffer_state, key, n_fold)
                 _, mut = self.reward_net.apply(
                     variables, batch.obs, batch.acts, batch.next_obs,
                     batch.dones, True,

@@ -69,6 +69,38 @@ class ReplayBuffer:
         self, state: BufferState, key: jax.Array, n: int
     ) -> TransitionBatch:
         """Uniform with-replacement sample of ``n`` stored rows
-        (reference buffer.py:216-237)."""
+        (reference buffer.py:216-237).
+
+        The reference raises on sampling an empty buffer. Inside jit we
+        cannot raise on a traced predicate, so an empty-buffer sample is
+        *poisoned* instead: float leaves become NaN and integer leaves the
+        dtype's max value, so downstream losses/indices blow up loudly
+        rather than silently training on all-zero rows of unfilled storage.
+        Eager call sites should use :meth:`sample_checked`.
+        """
         idx = jax.random.randint(key, (n,), 0, jnp.maximum(state.size, 1))
-        return jax.tree.map(lambda x: x[idx], state.data)
+        empty = state.size == 0
+
+        def _poison(x):
+            rows = x[idx]
+            if jnp.issubdtype(rows.dtype, jnp.floating):
+                bad = jnp.asarray(jnp.nan, rows.dtype)
+            elif jnp.issubdtype(rows.dtype, jnp.integer):
+                bad = jnp.asarray(jnp.iinfo(rows.dtype).max, rows.dtype)
+            else:  # bool dones etc. — nothing poisonous representable
+                return rows
+            return jnp.where(empty, bad, rows)
+
+        return jax.tree.map(_poison, state.data)
+
+    def sample_checked(
+        self, state: BufferState, key: jax.Array, n: int
+    ) -> TransitionBatch:
+        """Eager-path sample that raises on an empty buffer like the
+        reference (buffer.py:216-237 ``assert self.size() > 0``)."""
+        if int(state.size) == 0:
+            raise ValueError(
+                "Cannot sample from an empty replay buffer; store transitions "
+                "first (e.g. call train_gen())."
+            )
+        return self.sample(state, key, n)

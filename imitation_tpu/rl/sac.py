@@ -177,6 +177,17 @@ class SAC:
     ):
         if venv.action_space.is_discrete:
             raise ValueError("SAC requires a continuous action space")
+        # SAC's collect loop is a lax.scan over venv.step — device envs only
+        # (unlike PPO, which has a host-collector branch). Fail loudly here
+        # rather than obscurely inside the jitted scan; adversarial
+        # train_fused also reads this attribute for its own guard.
+        self.is_host_env = bool(getattr(venv, "is_host", False))
+        if self.is_host_env:
+            raise ValueError(
+                "SAC requires a device (pure-JAX) vector env; got a "
+                "host-stepped env. Use PPO for host (MuJoCo/gym-bridge) "
+                "envs, or a device implementation of this env."
+            )
         self.venv = venv
         self.config = config
         self.act_dim = venv.action_space.flat_dim

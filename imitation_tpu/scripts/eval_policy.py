@@ -128,8 +128,11 @@ def _record_videos(config, run_dir, policy_apply, params) -> None:
     video_dir = os.path.join(run_dir, "videos")
     env = VideoWrapper(env, directory=video_dir, **vk)
     key = jax.random.key(config["seed"])
-    for _ in range(episodes):
-        obs, _ = env.reset(seed=config["seed"])
+    for episode in range(episodes):
+        # Distinct seed per episode: seeding every reset identically would
+        # record `episodes` copies of the same trajectory under a
+        # deterministic policy (reference records distinct episodes).
+        obs, _ = env.reset(seed=config["seed"] + episode)
         done = False
         while not done:
             key, sub = jax.random.split(key)

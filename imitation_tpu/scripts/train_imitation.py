@@ -150,6 +150,33 @@ def dagger_cmd(config: Dict[str, Any], run_dir: str, logger) -> Dict[str, Any]:
         from imitation_tpu.policies import serialize as policy_serialize
 
         _, warm_vars = policy_serialize.load_policy_from_path(config["agent_path"])
+        # Validate the checkpoint against the configured BC policy before
+        # swapping it in — an architecture mismatch would otherwise surface
+        # as an obscure shape error at the first apply.
+        import jax
+
+        cur = bc_trainer.state.variables
+        cur_struct = jax.tree.structure(cur)
+        warm_struct = jax.tree.structure(warm_vars)
+        if cur_struct != warm_struct:
+            raise ValueError(
+                f"agent_path checkpoint has a different policy architecture: "
+                f"parameter tree {warm_struct} does not match the configured "
+                f"BC policy's {cur_struct}. Check policy hid_sizes / spaces."
+            )
+        mismatched = [
+            str(path)
+            for (path, a), b in zip(
+                jax.tree_util.tree_leaves_with_path(cur), jax.tree.leaves(warm_vars)
+            )
+            if a.shape != b.shape
+        ]
+        if mismatched:
+            raise ValueError(
+                f"agent_path checkpoint parameter shapes do not match the "
+                f"configured BC policy (obs/action spaces or hid_sizes "
+                f"differ) at: {', '.join(mismatched)}"
+            )
         bc_trainer.state = dataclasses.replace(bc_trainer.state, variables=warm_vars)
     trainer = SimpleDAggerTrainer(
         venv=venv,

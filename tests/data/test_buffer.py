@@ -75,3 +75,46 @@ def test_store_is_jittable():
     for i in range(4):
         state = store(state, make_batch(i * 2, 2))
     assert int(state.size) == 6
+
+
+def test_empty_sample_is_poisoned():
+    # Reference raises on sampling an empty buffer (buffer.py:216-237);
+    # inside jit we poison instead of silently returning zero rows.
+    buf = ReplayBuffer(capacity=10)
+    state = buf.init_state(make_batch(0, 1))
+    out = jax.jit(buf.sample, static_argnums=2)(state, jax.random.key(0), 4)
+    assert np.all(np.isnan(out.obs))
+    assert np.all(np.isnan(out.rews))
+
+
+def test_empty_sample_poison_int_leaves():
+    r = jnp.arange(3)
+    batch = TransitionBatch(
+        obs=jnp.zeros((3, 1)),
+        acts=r.astype(jnp.int32),
+        next_obs=jnp.zeros((3, 1)),
+        dones=jnp.zeros(3),
+        rews=jnp.zeros(3),
+    )
+    buf = ReplayBuffer(capacity=8)
+    state = buf.init_state(batch)
+    out = buf.sample(state, jax.random.key(0), 4)
+    assert np.all(np.asarray(out.acts) == np.iinfo(np.int32).max)
+
+
+def test_sample_checked_raises_on_empty():
+    import pytest
+
+    buf = ReplayBuffer(capacity=10)
+    state = buf.init_state(make_batch(0, 1))
+    with pytest.raises(ValueError, match="empty replay buffer"):
+        buf.sample_checked(state, jax.random.key(0), 4)
+
+
+def test_sample_clean_after_store():
+    buf = ReplayBuffer(capacity=10)
+    state = buf.init_state(make_batch(0, 1))
+    state = buf.store(state, make_batch(0, 4))
+    out = buf.sample_checked(state, jax.random.key(0), 16)
+    assert np.all(np.isfinite(out.obs))
+    assert set(np.asarray(out.rews).tolist()) <= {0.0, 1.0, 2.0, 3.0}
