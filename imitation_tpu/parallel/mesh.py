@@ -98,6 +98,43 @@ def shard_params_tp(params: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map_with_path(place, params)
 
 
+def shard_adversarial_trainer(trainer: Any, mesh: Mesh, tp_params: bool = True) -> Any:
+    """Places an AdversarialTrainer's FULL fused-path state on ``mesh`` so
+    that ``train_fused`` (the multi-round scanned program) runs sharded.
+
+    Layout: generator env state batch-sharded over ``dp``; policy + reward
+    net params and optimizer states tp-sharded (replicated at tp=1); the
+    generator replay ring and demo batch replicated (both are sampled with
+    identical keys on every device, so replication keeps disc batches
+    bit-identical across the mesh without a gather). jit propagates these
+    input shardings through the scan — XLA inserts dp-psums for gradient
+    reduction and tp-collectives for the matmuls.
+    """
+    if trainer.gen_state is None:
+        trainer.gen_state = trainer.gen_algo.init_state()
+    trainer.gen_state = shard_rl_state(trainer.gen_state, mesh, tp_params)
+    place = (
+        (lambda t: shard_params_tp(t, mesh))
+        if tp_params
+        else (lambda t: replicate_tree(t, mesh))
+    )
+    trainer.disc_state = trainer.disc_state.replace(
+        variables=place(trainer.disc_state.variables),
+        opt_state=place(trainer.disc_state.opt_state),
+        key=jax.device_put(trainer.disc_state.key, replicated(mesh)),
+        step=jax.device_put(trainer.disc_state.step, replicated(mesh)),
+    )
+    if trainer._gen_buffer_state is None:
+        trainer._gen_buffer_state = trainer._gen_replay_buffer.init_state(
+            trainer._example_transitions()
+        )
+    trainer._gen_buffer_state = replicate_tree(trainer._gen_buffer_state, mesh)
+    trainer._demo_store = type(trainer._demo_store)(
+        batch=replicate_tree(trainer._demo_store.batch, mesh)
+    )
+    return trainer
+
+
 def shard_rl_state(state: Any, mesh: Mesh, tp_params: bool = True) -> Any:
     """Places an RLState (or similar): env_state batch-sharded over dp,
     variables/opt_state tp-sharded (or replicated), scalars replicated."""
