@@ -91,6 +91,77 @@ class ImageObsDiscreteInteractivePolicy(DiscreteInteractivePolicy):
         return np.asarray(obs)
 
 
+# Canonical key bindings for the full Atari action set (reference
+# interactive.py:118-137 ATARI_ACTION_NAMES_TO_KEYS): directions on a
+# wasd-style rose, FIRE variants on the surrounding keys.
+ATARI_ACTION_NAMES_TO_KEYS: Dict[str, str] = {
+    "NOOP": "1",
+    "FIRE": "2",
+    "UP": "w",
+    "RIGHT": "d",
+    "LEFT": "a",
+    "DOWN": "x",
+    "UPRIGHT": "e",
+    "UPLEFT": "q",
+    "DOWNRIGHT": "c",
+    "DOWNLEFT": "z",
+    "UPFIRE": "t",
+    "RIGHTFIRE": "h",
+    "LEFTFIRE": "f",
+    "DOWNFIRE": "b",
+    "UPRIGHTFIRE": "y",
+    "UPLEFTFIRE": "r",
+    "DOWNRIGHTFIRE": "n",
+    "DOWNLEFTFIRE": "v",
+}
+
+
+class AtariInteractivePolicy(ImageObsDiscreteInteractivePolicy):
+    """Interactive policy for Atari-style image envs (reference
+    interactive.py:140-159).
+
+    ``action_names`` is the env's action-meaning list in action-index
+    order — pass ``env.get_action_meanings()`` (ALE API), or for an env
+    behind our gym bridge, ``venv.env.unwrapped.get_action_meanings()``.
+    Each name is bound to its canonical key from
+    ``ATARI_ACTION_NAMES_TO_KEYS``, so e.g. Pong's 6-action subset gets
+    the same keys as Breakout's 4-action subset.
+    """
+
+    def __init__(
+        self,
+        observation_space: Space,
+        action_space: Space,
+        action_names: "collections.abc.Sequence[str]",
+        **kwargs,
+    ):
+        unknown = [n for n in action_names if n not in ATARI_ACTION_NAMES_TO_KEYS]
+        if unknown:
+            raise ValueError(
+                f"unknown Atari action name(s) {unknown}; expected a subset "
+                f"of {sorted(ATARI_ACTION_NAMES_TO_KEYS)}"
+            )
+        action_keys_names = collections.OrderedDict(
+            (ATARI_ACTION_NAMES_TO_KEYS[name], name) for name in action_names
+        )
+        super().__init__(observation_space, action_space, action_keys_names, **kwargs)
+
+
+def atari_interactive_policy(venv, **kwargs) -> AtariInteractivePolicy:
+    """Builds an AtariInteractivePolicy from a (bridged) Atari env by
+    querying its action meanings (reference interactive.py:143-151)."""
+    base = getattr(venv, "env", venv)
+    base = getattr(base, "unwrapped", base)
+    if not hasattr(base, "get_action_meanings"):
+        raise ValueError(
+            "env does not expose get_action_meanings(); pass action_names to "
+            "AtariInteractivePolicy directly"
+        )
+    return AtariInteractivePolicy(
+        venv.observation_space, venv.action_space, base.get_action_meanings(), **kwargs
+    )
+
+
 def cartpole_interactive_policy(space_obs: Space, space_act: Space):
     """Example construction with named bindings."""
     return TextInteractivePolicy(
