@@ -96,3 +96,133 @@ def test_markdown_summary(tmp_path):
     md = markdown_summary([str(tmp_path)])
     assert "| algo | env |" in md
     assert "eval_policy" in md
+
+
+# ---------------------------------------------------------------------------
+# Deeper CLI/integration coverage (VERDICT r2 #6; reference
+# tests/scripts/test_scripts.py:674,859-975 analogues)
+# ---------------------------------------------------------------------------
+
+
+def test_tuning_two_phase_end_to_end(tmp_path):
+    """tune() phase-1 sweep over a grid + phase-2 re-eval of the best config
+    on fresh seeds (reference tuning.py:18-76 + test_scripts.py tuning)."""
+    from imitation_tpu.scripts.tuning import tune
+
+    summary = tune(
+        "eval_policy",
+        named_configs=["fast"],
+        search_space={"max_episode_steps": {"grid": [5, 20]}},
+        tune_seeds=[0, 1],
+        eval_seeds=[100, 101],
+        run_root=str(tmp_path),
+    )
+    # CartPole return == episode length, so the longer-horizon config wins.
+    assert summary["best_overrides"] == {"max_episode_steps": 20}
+    assert len(summary["eval_returns"]) == 2
+    assert summary["eval_mean_return"] > 5
+    assert (tmp_path / "tuning_summary.json").exists()
+    # phase-2 runs really re-ran the best config on the eval seeds
+    assert (tmp_path / "phase2_eval" / "sweep_results.json").exists()
+
+
+def _write_fake_run(root, name, env, seed, status, ret):
+    d = root / name
+    d.mkdir(parents=True)
+    (d / "config.json").write_text(json.dumps({"env_name": env, "seed": seed}))
+    (d / "run.json").write_text(json.dumps({
+        "status": status,
+        "experiment": {"name": "bc"},
+        "result": {"imit_stats": {"monitor_return_mean": ret, "return_std": 1.0,
+                                  "n_traj": 5}},
+    }))
+    return d
+
+
+def test_analyze_verbosity_levels_and_csv(tmp_path):
+    _write_fake_run(tmp_path, "r1", "CartPole-v1", 0, "COMPLETED", 100.0)
+    _write_fake_run(tmp_path, "r2", "CartPole-v1", 1, "COMPLETED", 120.0)
+    df1 = analyze_imitation([str(tmp_path)], verbosity_level=1)
+    assert set(df1.columns) == {
+        "status", "exp_name", "env_name", "seed", "imit_return_mean",
+    }
+    csv = tmp_path / "out.csv"
+    df2 = analyze_imitation(
+        [str(tmp_path)], verbosity_level=2, csv_output_path=str(csv)
+    )
+    for col in ("dir", "imit_return_std", "n_traj"):
+        assert col in df2.columns
+    assert csv.exists()
+    import pandas as pd
+
+    loaded = pd.read_csv(csv)
+    assert len(loaded) == 2
+    assert sorted(loaded["imit_return_mean"]) == [100.0, 120.0]
+
+
+def test_analyze_env_filter_and_skip_failed(tmp_path):
+    _write_fake_run(tmp_path, "ok", "CartPole-v1", 0, "COMPLETED", 10.0)
+    _write_fake_run(tmp_path, "fail", "CartPole-v1", 1, "FAILED", None)
+    _write_fake_run(tmp_path, "other", "Pendulum-v1", 0, "COMPLETED", -300.0)
+    assert len(analyze_imitation([str(tmp_path)])) == 3
+    assert len(analyze_imitation([str(tmp_path)], skip_failed_runs=True)) == 2
+    df = analyze_imitation([str(tmp_path)], env_name="Pendulum-v1")
+    assert len(df) == 1 and df.iloc[0]["imit_return_mean"] == -300.0
+
+
+def test_analyze_empty_and_corrupt_dirs(tmp_path):
+    (tmp_path / "junk").mkdir()
+    (tmp_path / "junk" / "config.json").write_text("{not json")
+    (tmp_path / "junk" / "run.json").write_text("{}")
+    df = analyze_imitation([str(tmp_path)])
+    assert df.empty
+
+
+def test_gather_tb_directories(tmp_path):
+    d = _write_fake_run(tmp_path, "r1", "CartPole-v1", 0, "COMPLETED", 1.0)
+    tb = d / "tb"
+    tb.mkdir()
+    (tb / "events.out.tfevents.123.host").write_text("")
+    out = gather_tb_directories([str(tmp_path)], tb_output_dir=str(tmp_path / "g"))
+    assert out["n_tb_dirs"] == 1
+    assert os.path.isdir(os.path.join(out["gather_dir"], "run_0000"))
+
+
+def test_parallel_sweep_search_space_multi_seed(tmp_path):
+    """Grid x seeds sweep through a real experiment (the reference's
+    test_parallel shape, test_scripts.py:859-975)."""
+    results = parallel_sweep(
+        "eval_policy",
+        named_configs=["fast"],
+        search_space={"max_episode_steps": {"grid": [5, 10]}},
+        seeds=[0, 1],
+        run_root=str(tmp_path),
+    )
+    assert len(results) == 4
+    assert all(r["status"] == "COMPLETED" for r in results)
+    by_steps = {}
+    for r in results:
+        by_steps.setdefault(r["overrides"]["max_episode_steps"], []).append(
+            r["result"]["monitor_return_mean"]
+        )
+    # longer horizon -> strictly larger CartPole return for every seed
+    assert min(by_steps[10]) > max(by_steps[5]) - 1e-9
+
+
+def test_eval_policy_bad_policy_path_raises(tmp_path):
+    from imitation_tpu.scripts import eval_policy as ep
+
+    with pytest.raises(Exception):
+        ep.ex.run_cli([
+            "with", "fast",
+            "expert.policy_type=ppo",
+            'expert.loader_kwargs={"path": "/nonexistent/policy"}',
+            f"log_root={tmp_path}",
+        ])
+
+
+def test_unknown_experiment_name_raises():
+    from imitation_tpu.scripts.parallel import _load_experiment
+
+    with pytest.raises(KeyError, match="unknown experiment"):
+        _load_experiment("no_such_experiment")
