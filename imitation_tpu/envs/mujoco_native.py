@@ -239,18 +239,26 @@ class MujocoLockstepVectorEnv:
             model = self._model
             nq, fs = self._nq, self._frame_skip
 
-            def _do_step(i):
-                d = self._env_datas[i]
-                d.ctrl[:] = acts[i]
-                mujoco.mj_step(model, d, nstep=fs)
-                mujoco.mj_rnePostConstraint(model, d)
-                self._states[i, 0] = d.time
-                self._states[i, 1 : 1 + nq] = d.qpos
-                self._states[i, 1 + nq :] = d.qvel
-                self._cfrc[i] = d.cfrc_ext
-                self._xpos_x[i] = d.xpos[1, 0]
+            # One task per worker thread, env loop inside: per-task executor
+            # dispatch dominates at 2 vCPUs (measured 1.84x from chunking —
+            # mj_step releases the GIL, so the physics still overlaps).
+            def _do_chunk(bounds):
+                lo, hi = bounds
+                for i in range(lo, hi):
+                    d = self._env_datas[i]
+                    d.ctrl[:] = acts[i]
+                    mujoco.mj_step(model, d, nstep=fs)
+                    mujoco.mj_rnePostConstraint(model, d)
+                    self._states[i, 0] = d.time
+                    self._states[i, 1 : 1 + nq] = d.qpos
+                    self._states[i, 1 + nq :] = d.qvel
+                    self._cfrc[i] = d.cfrc_ext
+                    self._xpos_x[i] = d.xpos[1, 0]
 
-            list(self._tp.map(_do_step, range(self.num_envs)))
+            nw = self._tp._max_workers
+            n = self.num_envs
+            bounds = [(k * n // nw, (k + 1) * n // nw) for k in range(nw)]
+            list(self._tp.map(_do_chunk, bounds))
         else:
             self._ctrl[:] = acts[:, None, :]
             self._pool.rollout(
