@@ -67,7 +67,7 @@ def run_sqil(seed: int = 0) -> None:
     )
     sqil.train(total_timesteps=100_000)
     trajs = rollout.generate_trajectories(
-        sqil.policy.greedy_fn(), sqil.state.variables, venv,
+        sqil.policy.sample_fn(), sqil.state.variables, venv,
         rollout.make_min_episodes(50), rng=seed + 1,
     )
     _record("sqil/cartpole", float(np.mean([t.rews.sum() for t in trajs])), seed, t0)

@@ -139,6 +139,7 @@ class MujocoLockstepVectorEnv:
             self._env_datas = [
                 mujoco.MjData(self._model) for _ in range(num_envs)
             ]
+            self._nthread = nthread
             self._tp = ThreadPoolExecutor(max_workers=nthread)
             self._nbody = self._model.nbody
             self._cfrc = np.zeros((num_envs, self._nbody, 6), np.float64)
@@ -255,7 +256,7 @@ class MujocoLockstepVectorEnv:
                     self._cfrc[i] = d.cfrc_ext
                     self._xpos_x[i] = d.xpos[1, 0]
 
-            nw = self._tp._max_workers
+            nw = self._nthread
             n = self.num_envs
             bounds = [(k * n // nw, (k + 1) * n // nw) for k in range(nw)]
             list(self._tp.map(_do_chunk, bounds))
