@@ -1,15 +1,23 @@
-"""RLHF (preference comparisons) long-run benchmark on Pendulum.
+"""RLHF (preference comparisons) long-run benchmarks.
 
 The reference publishes no RLHF benchmark number in-repo, so the bar is
-self-consistency (VERDICT round-1, item 7): a real learning curve with wall
-time — final agent return should approach expert-level Pendulum performance
-(random ~ -1200, converged PPO on true reward ~ -200).
+self-consistency (VERDICT round-1 item 7 / round-2 item 2): a real learning
+curve with wall time, with the final agent approaching the return of a
+true-reward PPO run at the same budget.
 
-Writes {"curve": [...], "final_return": ..., "wall_s": ...} to
-output/r2/rlhf_pendulum.json and appends to output/parity/results.json under
-"rlhf/pendulum". Run ALONE on the chip.
+Presets:
+* ``pendulum``           — 400k steps / 600 synthetic comparisons on the
+  device Pendulum env (random ~ -1200, converged PPO ~ -200).
+* ``seals_half_cheetah`` — 1M steps / 1000 comparisons on host MuJoCo
+  (expert-spec PPO HPs; our true-reward PPO expert reaches 1688.8).
 
-Usage: python -m benchmarking.run_rlhf [--timesteps N] [--comparisons K]
+Writes {"curve": [...], "final_return": ...} to output/r2/rlhf_<env>.json
+and appends to output/parity/results.json under "rlhf/<env>". With
+``--true-baseline``, instead trains plain PPO on the TRUE reward at the
+same budget and records "rlhf_true_ppo/<env>" (the comparison gate).
+
+Usage: python -m benchmarking.run_rlhf [--env pendulum] [--timesteps N]
+       [--comparisons K] [--true-baseline]
 """
 
 from __future__ import annotations
@@ -21,16 +29,46 @@ import time
 
 import numpy as np
 
+PRESETS = {
+    "pendulum": dict(
+        env_name="Pendulum-v1", num_envs=32, timesteps=400_000,
+        comparisons=600, iterations=20, fragment_length=50,
+        hid_sizes=(64, 64), normalize_features=False,
+        ppo=dict(n_steps=64, n_minibatches=8, n_epochs=10,
+                 learning_rate=3e-4, ent_coef=0.0, gamma=0.95,
+                 gae_lambda=0.95),
+    ),
+    # PPO HPs = the tuned expert spec (benchmarking/train_experts.py
+    # seals_half_cheetah; reference scripts/config/train_rl.py).
+    "seals_half_cheetah": dict(
+        env_name="seals/HalfCheetah-v1", num_envs=16, timesteps=1_000_000,
+        comparisons=1000, iterations=25, fragment_length=50,
+        hid_sizes=(64, 64), normalize_features=True,
+        ppo=dict(n_steps=32, n_minibatches=8, n_epochs=5,
+                 learning_rate=3.286871805949382e-4,
+                 ent_coef=3.794797423594763e-6, gamma=0.95, gae_lambda=0.95,
+                 clip_range=0.1, vf_coef=0.11483689492120866,
+                 max_grad_norm=0.8),
+    ),
+}
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--timesteps", type=int, default=400_000)
-    ap.add_argument("--comparisons", type=int, default=600)
-    ap.add_argument("--iterations", type=int, default=20)
+    ap.add_argument("--env", default="pendulum", choices=sorted(PRESETS))
+    ap.add_argument("--timesteps", type=int, default=None)
+    ap.add_argument("--comparisons", type=int, default=None)
+    ap.add_argument("--iterations", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--true-baseline", action="store_true",
+        help="train plain PPO on the TRUE reward at the same budget instead",
+    )
     args = ap.parse_args()
-
-    import jax
+    preset = PRESETS[args.env]
+    timesteps = args.timesteps or preset["timesteps"]
+    comparisons = args.comparisons or preset["comparisons"]
+    iterations = args.iterations or preset["iterations"]
 
     import imitation_tpu
 
@@ -42,69 +80,97 @@ def main() -> None:
     from imitation_tpu.rewards.reward_nets import BasicRewardNet
     from imitation_tpu.rl.ppo import PPO, PPOConfig
 
-    venv = make_vec_env("Pendulum-v1", num_envs=32)
+    venv = make_vec_env(preset["env_name"], num_envs=preset["num_envs"])
     policy = ActorCriticPolicy(
         observation_space=venv.observation_space,
         action_space=venv.action_space,
-        hid_sizes=(64, 64),
+        hid_sizes=tuple(preset["hid_sizes"]),
+        normalize_features=preset["normalize_features"],
     )
-    ppo = PPO(
-        venv,
-        policy,
-        PPOConfig(
-            n_steps=64, n_minibatches=8, n_epochs=10,
-            learning_rate=3e-4, ent_coef=0.0, gamma=0.95, gae_lambda=0.95,
-        ),
-        seed=args.seed,
-    )
-    reward_net = BasicRewardNet(
-        observation_space=venv.observation_space,
-        action_space=venv.action_space,
-        normalize_input=True,
-    )
-    agent_trainer = pc.AgentTrainer(
-        ppo, reward_net, venv, rng=args.seed, exploration_frac=0.05
-    )
-    trainer = pc.PreferenceComparisons(
-        agent_trainer,
-        reward_net,
-        num_iterations=args.iterations,
-        fragmenter=pc.RandomFragmenter(rng=args.seed, warning_threshold=0),
-        preference_gatherer=pc.SyntheticGatherer(rng=np.random.default_rng(args.seed)),
-        fragment_length=50,
-        transition_oversampling=1.5,
-        initial_comparison_frac=0.1,
-        initial_epoch_multiplier=4.0,
-        allow_variable_horizon=True,
-        rng=args.seed,
-        seed=args.seed,
-    )
+    ppo = PPO(venv, policy, PPOConfig(**preset["ppo"]), seed=args.seed)
 
-    curve = []
+    out_dir = "output/r2"
+    os.makedirs(out_dir, exist_ok=True)
+    res_key_prefix = "rlhf_true_ppo" if args.true_baseline else "rlhf"
+    out_path = os.path.join(out_dir, f"{res_key_prefix}_{args.env}.json")
     t0 = time.time()
 
-    def true_return(n=10):
-        trajs = rmod.generate_trajectories(
-            policy.sample_fn(), agent_trainer.state.variables, venv,
-            rmod.make_min_episodes(n), rng=args.seed + 99,
+    if args.true_baseline:
+        state = ppo.init_state()
+        curve = []
+        chunk_steps = max(timesteps // 20, 1)
+        done = 0
+        while done < timesteps:
+            state = ppo.learn(state, chunk_steps)
+            done += chunk_steps
+            trajs = rmod.generate_trajectories(
+                policy.sample_fn(), state.variables, venv,
+                rmod.make_min_episodes(5), rng=args.seed + 99,
+            )
+            ret = float(np.mean([t.rews.sum() for t in trajs]))
+            curve.append({"timesteps": done, "true_return5": ret,
+                          "wall_s": time.time() - t0})
+            print(f"[true-ppo/{args.env}] {done} steps: {ret:.1f}", flush=True)
+            with open(out_path, "w") as f:
+                json.dump({"curve": curve}, f, indent=1)
+        final_trajs = rmod.generate_trajectories(
+            policy.sample_fn(), state.variables, venv,
+            rmod.make_min_episodes(50), rng=args.seed + 1,
         )
-        return float(np.mean([t.rews.sum() for t in trajs]))
+        final = float(np.mean([t.rews.sum() for t in final_trajs]))
+        result = {}
+        agent_variables = state.variables
+    else:
+        reward_net = BasicRewardNet(
+            observation_space=venv.observation_space,
+            action_space=venv.action_space,
+            normalize_input=True,
+        )
+        agent_trainer = pc.AgentTrainer(
+            ppo, reward_net, venv, rng=args.seed, exploration_frac=0.05
+        )
+        trainer = pc.PreferenceComparisons(
+            agent_trainer,
+            reward_net,
+            num_iterations=iterations,
+            fragmenter=pc.RandomFragmenter(rng=args.seed, warning_threshold=0),
+            preference_gatherer=pc.SyntheticGatherer(
+                rng=np.random.default_rng(args.seed)
+            ),
+            fragment_length=preset["fragment_length"],
+            transition_oversampling=1.5,
+            initial_comparison_frac=0.1,
+            initial_epoch_multiplier=4.0,
+            allow_variable_horizon=True,
+            rng=args.seed,
+            seed=args.seed,
+        )
 
-    def callback(iteration):
-        ret = true_return()
-        curve.append({
-            "iteration": iteration,
-            "true_return10": ret,
-            "wall_s": time.time() - t0,
-        })
-        print(f"[rlhf] iter {iteration}: true_return={ret:.1f} "
-              f"({curve[-1]['wall_s']:.0f}s)", flush=True)
-        os.makedirs("output/r2", exist_ok=True)
-        with open("output/r2/rlhf_pendulum.json", "w") as f:
-            json.dump({"curve": curve}, f, indent=1)
+        curve = []
 
-    result = trainer.train(args.timesteps, args.comparisons, callback=callback)
-    final = true_return(n=50)
+        def true_return(n=10):
+            trajs = rmod.generate_trajectories(
+                policy.sample_fn(), agent_trainer.state.variables, venv,
+                rmod.make_min_episodes(n), rng=args.seed + 99,
+            )
+            return float(np.mean([t.rews.sum() for t in trajs]))
+
+        def callback(iteration):
+            ret = true_return()
+            curve.append({
+                "iteration": iteration,
+                "true_return10": ret,
+                "wall_s": time.time() - t0,
+            })
+            print(f"[rlhf/{args.env}] iter {iteration}: true_return={ret:.1f} "
+                  f"({curve[-1]['wall_s']:.0f}s)", flush=True)
+            with open(out_path, "w") as f:
+                json.dump({"curve": curve}, f, indent=1)
+
+        result = trainer.train(timesteps, comparisons, callback=callback)
+        final = true_return(n=50)
+        agent_variables = agent_trainer.state.variables
+
     wall = time.time() - t0
     out = {
         "curve": curve,
@@ -112,23 +178,22 @@ def main() -> None:
         "wall_s": wall,
         "reward_loss": result.get("reward_loss"),
         "reward_accuracy": result.get("reward_accuracy"),
-        "timesteps": args.timesteps,
-        "comparisons": args.comparisons,
+        "timesteps": timesteps,
+        "comparisons": None if args.true_baseline else comparisons,
     }
-    with open("output/r2/rlhf_pendulum.json", "w") as f:
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
-    # Also record in the parity results file for the summary table.
     res_path = os.path.join("output", "parity", "results.json")
     results = {}
     if os.path.exists(res_path):
         with open(res_path) as f:
             results = json.load(f)
-    results.setdefault("rlhf/pendulum", []).append(
+    results.setdefault(f"{res_key_prefix}/{args.env}", []).append(
         {"return": final, "seed": args.seed, "ts": time.time(), "wall_s": wall}
     )
     with open(res_path, "w") as f:
         json.dump(results, f, indent=1)
-    print(f"rlhf/pendulum: final_return50={final:.1f} ({wall:.0f}s)")
+    print(f"{res_key_prefix}/{args.env}: final_return50={final:.1f} ({wall:.0f}s)")
 
 
 if __name__ == "__main__":

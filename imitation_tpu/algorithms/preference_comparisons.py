@@ -304,6 +304,19 @@ class AgentTrainer(TrajectoryGenerator):
         return out
 
     def _sample_exploration(self, steps: int) -> List[types.TrajectoryWithRew]:
+        if getattr(self.venv, "is_host", False):
+            # Host-stepped env: the scanned device collector can't run;
+            # drive the same Markov-switching mixture through the host
+            # rollout path.
+            return list(
+                rollout_mod.generate_trajectories(
+                    self._explorer.host_policy_fn(),
+                    self.state.variables,
+                    self.venv,
+                    rollout_mod.make_min_timesteps(steps),
+                    rng=int(self.rng.integers(0, 2**31 - 1)),
+                )
+            )
         key = jax.random.key(int(self.rng.integers(0, 2**31 - 1)))
         key, k_reset, k_mode = jax.random.split(key, 3)
         env_state = self.venv.reset(k_reset)

@@ -88,3 +88,35 @@ class ExplorationWrapper:
             step_fn, (env_state, mode_random), keys
         )
         return env_state, mode_random, chunk
+
+    def host_policy_fn(self):
+        """Stateful per-step policy callable for HOST envs.
+
+        Same Markov-switching math as :meth:`collect`, expressed through the
+        standard rollout policy interface ``(params, obs, key) -> (acts,
+        aux)`` so it plugs into ``rollout.generate_trajectories`` on
+        host-stepped (MuJoCo / gym-bridge) envs, where the scanned device
+        path cannot run. The per-env mode persists across calls in the
+        closure.
+        """
+        space = self.venv.action_space
+        B = self.venv.num_envs
+        state = {"mode": None}
+
+        def f(params, obs, key):
+            k_act, k_rand, k_switch, k_new, k_init = jax.random.split(key, 5)
+            pol_acts, aux = self.policy_apply(params, obs, k_act)
+            rand_acts = jax.vmap(space.sample)(jax.random.split(k_rand, B))
+            rand_acts = rand_acts.astype(pol_acts.dtype)
+            if state["mode"] is None:
+                state["mode"] = (
+                    jax.random.uniform(k_init, (B,)) < self.random_prob
+                )
+            m = state["mode"].reshape((B,) + (1,) * (pol_acts.ndim - 1))
+            acts = jnp.where(m, rand_acts, pol_acts)
+            switch = jax.random.uniform(k_switch, (B,)) < self.switch_prob
+            new_mode = jax.random.uniform(k_new, (B,)) < self.random_prob
+            state["mode"] = jnp.where(switch, new_mode, state["mode"])
+            return acts, aux
+
+        return f

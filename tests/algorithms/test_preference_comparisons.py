@@ -664,3 +664,30 @@ def test_sac_agent_trainer_folds_normalizer_stats(pendulum_trajs):
     leaves1 = jax.tree_util.tree_leaves_with_path(at.reward_variables["stats"])
     count1 = float([v for p, v in leaves1 if "count" in jax.tree_util.keystr(p)][0])
     assert count1 > count0
+
+
+def test_agent_trainer_exploration_on_host_env():
+    """exploration_frac sampling over a HOST env runs the Markov-switching
+    mixture through the host rollout path (device scan can't step host
+    envs); regression for the jax-key-into-numpy-seed crash."""
+    from imitation_tpu.envs.gym_bridge import GymHostEnv, HostVectorEnv
+    from imitation_tpu.models.policies import ActorCriticPolicy
+    from imitation_tpu.rl.ppo import PPO, PPOConfig
+
+    env = GymHostEnv("Pendulum-v1")
+    venv = HostVectorEnv(env, num_envs=2, max_episode_steps=10, num_threads=1)
+    policy = ActorCriticPolicy(
+        observation_space=venv.observation_space,
+        action_space=venv.action_space,
+        hid_sizes=(8,),
+    )
+    ppo = PPO(venv, policy, PPOConfig(n_steps=8, n_minibatches=2, n_epochs=1), seed=0)
+    net = BasicRewardNet(
+        observation_space=venv.observation_space, action_space=venv.action_space
+    )
+    trainer = pc.AgentTrainer(ppo, net, venv, rng=0, exploration_frac=0.5)
+    trainer.reward_variables = net.init_variables(jax.random.key(0))
+    trajs = trainer.sample(40)
+    assert sum(len(t) for t in trajs) >= 40
+    assert all(np.isfinite(np.asarray(t.rews)).all() for t in trajs)
+    venv.close()
