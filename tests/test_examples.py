@@ -39,6 +39,7 @@ TUTORIALS = [
     ("examples.tutorials.t08a_train_sqil_sac", {"total_timesteps": 500}, None),
     ("examples.tutorials.t09_compare_baselines", {"n_seeds": 2, "n_epochs": 1}, "P(BC > random)"),
     ("examples.tutorials.t10_train_custom_env", {"ppo_iters": 5}, "BC return"),
+    ("examples.tutorials.t11_multichip", {"n_rounds": 4}, "resumed on mesh"),
 ]
 
 
