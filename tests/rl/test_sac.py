@@ -80,3 +80,18 @@ def test_sac_learns_pendulum():
     late = np.mean(returns[-10:])
     assert late > early + 400, f"SAC failed to learn: {early:.0f} -> {late:.0f}"
     assert late > -1000
+
+
+def test_sac_host_env_rejected():
+    """SAC's collect loop is a device-only lax.scan; host envs get a clear
+    error instead of an obscure trace failure."""
+    import pytest
+
+    from imitation_tpu.envs.gym_bridge import GymHostEnv, HostVectorEnv
+    from imitation_tpu.rl.sac import SAC
+
+    env = GymHostEnv("Pendulum-v1")
+    venv = HostVectorEnv(env, num_envs=2, max_episode_steps=10, num_threads=1)
+    with pytest.raises(ValueError, match="device .pure-JAX. vector env"):
+        SAC(venv)
+    venv.close()
