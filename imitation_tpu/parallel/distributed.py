@@ -213,6 +213,39 @@ def shard_rl_state_global(state: Any, mesh: Mesh) -> Any:
     )
 
 
+def shard_adversarial_trainer_global(trainer: Any, mesh: Mesh) -> Any:
+    """Multi-process counterpart of ``mesh.shard_adversarial_trainer``:
+    places an AdversarialTrainer's full fused-path state on the GLOBAL mesh
+    so ``train_fused`` runs SPMD across processes.
+
+    Layout mirrors the single-process helper: generator env batch sharded
+    over global dp (process-major row blocks), all parameters/optimizer
+    states/replay/demo batch replicated — every process must hold the
+    identical full host state (same-seed construction) before the call.
+    """
+    if trainer.gen_state is None:
+        trainer.gen_state = trainer.gen_algo.init_state()
+    trainer.gen_state = shard_rl_state_global(trainer.gen_state, mesh)
+    key = jax.random.wrap_key_data(
+        replicate_global(np.asarray(jax.random.key_data(trainer.disc_state.key)), mesh)
+    )
+    trainer.disc_state = trainer.disc_state.replace(
+        variables=replicate_global(trainer.disc_state.variables, mesh),
+        opt_state=replicate_global(trainer.disc_state.opt_state, mesh),
+        key=key,
+        step=replicate_global(np.asarray(trainer.disc_state.step), mesh),
+    )
+    if trainer._gen_buffer_state is None:
+        trainer._gen_buffer_state = trainer._gen_replay_buffer.init_state(
+            trainer._example_transitions()
+        )
+    trainer._gen_buffer_state = replicate_global(trainer._gen_buffer_state, mesh)
+    trainer._demo_store = type(trainer._demo_store)(
+        batch=replicate_global(trainer._demo_store.batch, mesh)
+    )
+    return trainer
+
+
 def local_env_count(global_num_envs: int) -> int:
     """Number of envs THIS process should step for a global env batch."""
     n = jax.process_count()

@@ -89,3 +89,19 @@ def test_two_process_ppo_train_step(tmp_path):
     np.testing.assert_array_equal(r0["flat"], r1["flat"])
     assert np.isfinite(r0["loss"]) and r0["loss"] == r1["loss"]
     assert np.all(np.isfinite(r0["flat"]))
+
+
+@pytest.mark.slow
+def test_two_process_fused_adversarial(tmp_path):
+    """GAIL's train_fused — the scanned multi-round program — runs SPMD
+    across two processes over the global hybrid mesh; both end with
+    bit-identical generator AND discriminator parameters (the multi-host
+    flagship path, VERDICT r2 #3)."""
+    _run_workers("tests.parallel._fused_worker", tmp_path)
+    r0 = np.load(tmp_path / "fused_0.npz")
+    r1 = np.load(tmp_path / "fused_1.npz")
+    np.testing.assert_array_equal(r0["gen"], r1["gen"])
+    np.testing.assert_array_equal(r0["disc"], r1["disc"])
+    assert int(r0["n_updates"]) == 4
+    assert int(r0["disc_step"]) == 8
+    assert np.all(np.isfinite(r0["gen"])) and np.all(np.isfinite(r0["disc"]))
