@@ -30,13 +30,21 @@ import time
 import numpy as np
 
 PRESETS = {
+    # PPO HPs from the reference's fine-tuned Pendulum RLHF tutorial
+    # (reference docs/tutorials/5_train_preference_comparisons.ipynb: lr
+    # 2e-3, ent_coef 0.01, clip 0.1, gamma 0.97, n_epochs 10, batch 64,
+    # FeedForward32 + NormalizeFeaturesExtractor; fragment_length 100 and
+    # initial_epoch_multiplier 200 from its config defaults) — the generic
+    # HPs of round 2 left the agent at random level while the reward net
+    # fit preferences perfectly.
     "pendulum": dict(
         env_name="Pendulum-v1", num_envs=32, timesteps=400_000,
-        comparisons=600, iterations=20, fragment_length=50,
-        hid_sizes=(64, 64), normalize_features=False,
-        ppo=dict(n_steps=64, n_minibatches=8, n_epochs=10,
-                 learning_rate=3e-4, ent_coef=0.0, gamma=0.95,
-                 gae_lambda=0.95),
+        comparisons=600, iterations=20, fragment_length=100,
+        initial_epoch_multiplier=200.0,
+        hid_sizes=(32, 32), normalize_features=True,
+        ppo=dict(n_steps=64, n_minibatches=32, n_epochs=10,
+                 learning_rate=2e-3, ent_coef=0.01, gamma=0.97,
+                 gae_lambda=0.95, clip_range=0.1),
     ),
     # PPO HPs = the tuned expert spec (benchmarking/train_experts.py
     # seals_half_cheetah; reference scripts/config/train_rl.py).
@@ -140,7 +148,7 @@ def main() -> None:
             fragment_length=preset["fragment_length"],
             transition_oversampling=1.5,
             initial_comparison_frac=0.1,
-            initial_epoch_multiplier=4.0,
+            initial_epoch_multiplier=preset.get("initial_epoch_multiplier", 4.0),
             allow_variable_horizon=True,
             rng=args.seed,
             seed=args.seed,
