@@ -79,10 +79,11 @@ DAGGER_HPS = {
 
 
 def load_expert(env_key: str, venv):
+    experts_dir = os.environ.get("PARITY_EXPERTS_DIR", EXPERTS_DIR)
     policy, variables = policy_serialize.load_policy_from_path(
-        os.path.join(EXPERTS_DIR, env_key, "policy")
+        os.path.join(experts_dir, env_key, "policy")
     )
-    demos = serialize.load(os.path.join(EXPERTS_DIR, env_key, "rollouts"))
+    demos = serialize.load(os.path.join(experts_dir, env_key, "rollouts"))
     return policy, variables, list(demos)
 
 
@@ -173,6 +174,11 @@ def run_adversarial(algo: str, env_key: str, seed: int, total_override=None):
     # for all tuned rl_batch values (>= 4096).
     num_envs = 64
     venv = make_vec_env(ENV_IDS[env_key], num_envs=num_envs)
+    # Separate eval venv: (a) evals never clobber the training collector's
+    # env state, (b) fixed-horizon envs pay num_envs * horizon steps per
+    # eval pass regardless of episodes wanted, so 16 envs makes the
+    # periodic 5-episode evals 4x cheaper than reusing the 64-env train venv.
+    eval_venv = make_vec_env(ENV_IDS[env_key], num_envs=16)
     _, _, demos = load_expert(env_key, venv)
 
     policy = ActorCriticPolicy(  # FeedForward32Policy + NormalizeFeaturesExtractor
@@ -240,8 +246,8 @@ def run_adversarial(algo: str, env_key: str, seed: int, total_override=None):
         trainer.train(trainer.gen_train_timesteps)
         if (r + 1) % log_every == 0:
             ret = eval50(
-                trainer.policy.sample_fn(), trainer.policy_variables, venv,
-                n=5, seed=seed + 7,
+                trainer.policy.sample_fn(), trainer.policy_variables,
+                eval_venv, n=5, seed=seed + 7,
             )
             history.append({
                 "round": r + 1,
@@ -257,7 +263,8 @@ def run_adversarial(algo: str, env_key: str, seed: int, total_override=None):
                   f"({history[-1]['timesteps']} steps) return5={ret:.1f} "
                   f"({history[-1]['wall_s']:.0f}s)", flush=True)
     final = eval50(
-        trainer.policy.sample_fn(), trainer.policy_variables, venv, seed=seed + 1
+        trainer.policy.sample_fn(), trainer.policy_variables, eval_venv,
+        seed=seed + 1,
     )
     return final, history
 
@@ -331,12 +338,16 @@ def main():
             final = hist[-1].get("return5", float("nan"))
             extra = {"history": hist, "partial": True,
                      "wall_s": time.time() - t0}
+            if os.environ.get("PARITY_EXPERTS_DIR"):
+                extra["experts_dir"] = os.environ["PARITY_EXPERTS_DIR"]
             record(args.algo, args.env_key, args.seed, final, extra)
             print(f"partial result recorded after SIGTERM: {final:.1f}")
             raise SystemExit(143)
     extra["wall_s"] = time.time() - t0
     if args.total_timesteps:
         extra["total_timesteps_override"] = args.total_timesteps
+    if os.environ.get("PARITY_EXPERTS_DIR"):
+        extra["experts_dir"] = os.environ["PARITY_EXPERTS_DIR"]
     record(args.algo, args.env_key, args.seed, final, extra)
     print(f"{args.algo}/{args.env_key} seed={args.seed}: return={final:.1f} "
           f"({extra['wall_s']:.0f}s)")

@@ -143,9 +143,15 @@ RUNNERS = {"sqil": run_sqil, "density": run_density, "mceirl": run_mceirl}
 
 
 def main() -> None:
-    which = sys.argv[1:] or list(RUNNERS)
+    argv = sys.argv[1:]
+    seed = 0
+    if "--seed" in argv:
+        i = argv.index("--seed")
+        seed = int(argv[i + 1])
+        del argv[i : i + 2]
+    which = argv or list(RUNNERS)
     for name in which:
-        RUNNERS[name]()
+        RUNNERS[name](seed=seed)
 
 
 if __name__ == "__main__":

@@ -102,7 +102,7 @@ _ACTIVATIONS = {"tanh": nn.tanh, "relu": nn.relu}
 
 def train_expert(
     key: str, seed: int = 0, resume: bool = False,
-    extra_timesteps: int = 0,
+    extra_timesteps: int = 0, out_root: str = OUT_ROOT,
 ) -> float:
     spec = SPECS[key]
     if extra_timesteps:
@@ -166,7 +166,7 @@ def train_expert(
                         seed=seed + 1)
     print(f"[{key}] final eval{spec.n_eval_episodes}={final:.1f}")
 
-    out_dir = os.path.join(OUT_ROOT, key)
+    out_dir = os.path.join(out_root, key)
     policy_serialize.save_policy(
         os.path.join(out_dir, "policy"), policy, state.variables
     )
@@ -177,7 +177,7 @@ def train_expert(
     )
     serialize.save(os.path.join(out_dir, "rollouts"), trajs)
 
-    summary_path = os.path.join(OUT_ROOT, "summary.json")
+    summary_path = os.path.join(out_root, "summary.json")
     summary = {}
     if os.path.exists(summary_path):
         with open(summary_path) as f:
@@ -205,6 +205,11 @@ if __name__ == "__main__":
         i = argv.index("--extra-timesteps")
         extra = int(argv[i + 1])
         del argv[i : i + 2]
+    out_root = OUT_ROOT
+    if "--out-root" in argv:
+        i = argv.index("--out-root")
+        out_root = argv[i + 1]
+        del argv[i : i + 2]
     keys = argv or list(SPECS)
     for k in keys:
-        train_expert(k, resume=resume, extra_timesteps=extra)
+        train_expert(k, resume=resume, extra_timesteps=extra, out_root=out_root)

@@ -209,6 +209,7 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
         self.gen_state: Optional[rl_common.RLState] = None
         self._run_rounds_jit = None
         self._disc_step_jit = jax.jit(self._disc_step)
+        self._disc_multi_jit = None
         self._chunk_to_transitions_jit = jax.jit(rollout_chunk_to_transitions)
         self._buffer_store_jit = jax.jit(self._gen_replay_buffer.store)
         self._global_step = 0
@@ -229,6 +230,7 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
         # constants) — re-jit when demonstrations are replaced post-hoc.
         if getattr(self, "_disc_step_jit", None) is not None:
             self._disc_step_jit = jax.jit(self._disc_step)
+        self._disc_multi_jit = None
         self._run_rounds_jit = None  # fused program embeds the disc step too
 
     @property
@@ -424,6 +426,49 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
             return stats
         return {k: float(v) for k, v in jax.device_get(stats).items()}
 
+    def _disc_multi(self, disc_state, gen_buffer_state, policy_variables,
+                    demo_batch, n: int):
+        """``n`` discriminator updates as ONE traced ``lax.scan`` program.
+
+        On a remote/tunneled accelerator each dispatched program costs a
+        network round trip; scanning the per-update step collapses the
+        reference's ``n_disc_updates_per_round`` separate updates
+        (reference common.py:446-448) into a single dispatch. Per-update
+        RNG-driven batch sampling semantics are unchanged — the scan body
+        IS ``_disc_step``.
+        """
+        def body(ds, _):
+            ds, stats = self._disc_step(
+                ds, gen_buffer_state, policy_variables, demo_batch
+            )
+            return ds, stats
+
+        disc_state, stats = jax.lax.scan(
+            body, disc_state, jnp.arange(n)
+        )
+        return disc_state, stats
+
+    def train_disc_rounds(self, n: Optional[int] = None, sync: bool = True):
+        """Runs ``n`` (default ``n_disc_updates_per_round``) disc updates in
+        one device program; returns per-update stats stacked on axis 0."""
+        if self._gen_buffer_state is None:
+            raise RuntimeError(
+                "No generator samples for training. Call `train_gen()` first.",
+            )
+        n = n or self.n_disc_updates_per_round
+        if self._disc_multi_jit is None:
+            self._disc_multi_jit = jax.jit(self._disc_multi, static_argnums=4)
+        self.disc_state, stats = self._disc_multi_jit(
+            self.disc_state,
+            self._gen_buffer_state,
+            self._current_policy_variables(),
+            self._demo_store.batch,
+            n,
+        )
+        if not sync:
+            return stats
+        return jax.device_get(stats)
+
     def _current_policy_variables(self):
         if self.gen_state is None:
             self.gen_state = self.gen_algo.init_state()
@@ -600,15 +645,23 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
             f"total_timesteps={total_timesteps})!"
         )
         for r in range(n_rounds):
+            # Dispatch generator round + all disc updates first, then fetch
+            # every metric in ONE device_get: on a remote/tunneled chip each
+            # blocking sync is a network round trip, so the reference's
+            # per-update fetch pattern (1 gen + n_disc syncs per round)
+            # collapses to a single sync per round.
+            gen_metrics_dev = self.train_gen(self.gen_train_timesteps, sync=False)
+            disc_stats_dev = self.train_disc_rounds(sync=False)
+            gen_metrics, disc_stats = jax.device_get(
+                (gen_metrics_dev, disc_stats_dev)
+            )
             with self.logger.accumulate_means("gen"):
-                gen_metrics = self.train_gen(self.gen_train_timesteps)
                 for k, v in gen_metrics.items():
-                    self.logger.record(k, v)
-            for _ in range(self.n_disc_updates_per_round):
+                    self.logger.record(k, float(v))
+            for i in range(self.n_disc_updates_per_round):
                 with self.logger.accumulate_means("disc"):
-                    disc_metrics = self.train_disc()
-                    for k, v in disc_metrics.items():
-                        self.logger.record(k, v)
+                    for k, v in disc_stats.items():
+                        self.logger.record(k, float(v[i]))
             self._global_step += 1
             if callback:
                 callback(r)

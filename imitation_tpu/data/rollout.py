@@ -156,6 +156,15 @@ class HostCollector:
         self._cpu_params = None
         self._cpu_params_src = None
 
+    def reseed(self, seed: int) -> None:
+        """Resets the env + RNG for a fresh collection pass (collector reuse)."""
+        if self._cpu is not None:
+            with jax.default_device(self._cpu):
+                self.key = jax.random.key(seed)
+        else:
+            self.key = jax.random.key(seed)
+        self.obs = self.venv.reset(seed=seed)
+
     def _params_for_apply(self):
         if self._cpu is None:
             return self.params
@@ -220,7 +229,18 @@ def generate_trajectories_host(
     seed = int(rng) if isinstance(rng, (int, np.integer)) else int(
         np.random.default_rng().integers(0, 2**31 - 1)
     )
-    collector = HostCollector(venv, policy_apply, params, seed=seed)
+    # Reuse one collector per (venv, policy fn): HostCollector jits its
+    # per-step apply per instance, so rebuilding it every call (e.g. the
+    # periodic evals inside a training loop) would retrace + recompile the
+    # policy forward each time.
+    cached = getattr(venv, "_gen_traj_collector", None)
+    if cached is not None and cached[0] is policy_apply:
+        collector = cached[1]
+        collector.params = params
+        collector.reseed(seed)
+    else:
+        collector = HostCollector(venv, policy_apply, params, seed=seed)
+        venv._gen_traj_collector = (policy_apply, collector)
     accum = TrajectoryAccumulator(venv.num_envs)
     trajectories: list = []
     while not sample_until(trajectories):

@@ -163,7 +163,15 @@ class ActorCriticPolicy:
         return act.reshape((-1,) + self.action_space.shape)
 
     def sample_fn(self):
-        """(variables, obs, key) -> (acts, {log_prob, value}) for rollout."""
+        """(variables, obs, key) -> (acts, {log_prob, value}) for rollout.
+
+        The closure is cached on the policy so repeated callers (e.g.
+        periodic evals) get a stable function identity — downstream
+        ``jax.jit`` / collector caches key on it.
+        """
+        f = getattr(self, "_sample_fn_cache", None)
+        if f is not None:
+            return f
 
         def f(variables, obs, key):
             dist, value = self.net.apply(variables, obs)
@@ -171,15 +179,21 @@ class ActorCriticPolicy:
             lp = dist.log_prob(acts)
             return self._format_act(acts), {"log_prob": lp, "value": value}
 
+        object.__setattr__(self, "_sample_fn_cache", f)
         return f
 
     def deterministic_fn(self):
+        f = getattr(self, "_det_fn_cache", None)
+        if f is not None:
+            return f
+
         def f(variables, obs, key):
             dist, value = self.net.apply(variables, obs)
             acts = dist.mode()
             lp = dist.log_prob(acts)
             return self._format_act(acts), {"log_prob": lp, "value": value}
 
+        object.__setattr__(self, "_det_fn_cache", f)
         return f
 
     def predict(
