@@ -74,9 +74,15 @@ def main() -> None:
     )
     args = ap.parse_args()
     preset = PRESETS[args.env]
-    timesteps = args.timesteps or preset["timesteps"]
-    comparisons = args.comparisons or preset["comparisons"]
-    iterations = args.iterations or preset["iterations"]
+    # `is not None` (not `or`): an explicit --timesteps 0 etc. must not
+    # silently fall back to the preset (round-3 advisor).
+    timesteps = args.timesteps if args.timesteps is not None else preset["timesteps"]
+    comparisons = (
+        args.comparisons if args.comparisons is not None else preset["comparisons"]
+    )
+    iterations = (
+        args.iterations if args.iterations is not None else preset["iterations"]
+    )
 
     import imitation_tpu
 
@@ -127,7 +133,6 @@ def main() -> None:
         )
         final = float(np.mean([t.rews.sum() for t in final_trajs]))
         result = {}
-        agent_variables = state.variables
     else:
         reward_net = BasicRewardNet(
             observation_space=venv.observation_space,
@@ -177,7 +182,6 @@ def main() -> None:
 
         result = trainer.train(timesteps, comparisons, callback=callback)
         final = true_return(n=50)
-        agent_variables = agent_trainer.state.variables
 
     wall = time.time() - t0
     out = {

@@ -121,7 +121,12 @@ class HostCollector:
 
     def __init__(self, venv, policy_apply: PolicyApply, params: Any, seed: int = 0):
         self.venv = venv
-        self._apply = jax.jit(policy_apply)
+        # Policies marked ``host_stateful`` (e.g. the exploration wrapper's
+        # host fn) carry Python-side per-env state that must execute every
+        # step — they are called eagerly, never wrapped in jit (a jitted
+        # closure would only run its Python at trace time).
+        self._stateful = bool(getattr(policy_apply, "host_stateful", False))
+        self._apply = policy_apply if self._stateful else jax.jit(policy_apply)
 
         # One fused dispatch per env step: fold the RNG split into the
         # jitted call (a bare jax.random.split is its own ~0.3ms dispatch
@@ -131,7 +136,7 @@ class HostCollector:
             acts, aux = policy_apply(params, obs, k_act)
             return acts, aux, key
 
-        self._step_apply = jax.jit(_step_apply)
+        self._step_apply = None if self._stateful else jax.jit(_step_apply)
         self.params = params
         # Pin the per-step policy forward to the LOCAL CPU: with a remote /
         # tunneled accelerator, a device call per env step costs a network
@@ -187,8 +192,20 @@ class HostCollector:
         aux_recs: list = []
         params = self._params_for_apply()
         key = self.key
-        for _ in range(num_steps):
-            acts, aux, key = self._step_apply(params, np.asarray(self.obs), key)
+        if self._stateful:
+            # Eager path: pre-split per-step keys once (cheap), call the
+            # stateful policy directly so its host state advances per step.
+            step_keys = jax.random.split(key, num_steps + 1)
+            key = step_keys[0]
+        for i in range(num_steps):
+            if self._stateful:
+                acts, aux = self._apply(
+                    params, np.asarray(self.obs), step_keys[i + 1]
+                )
+            else:
+                acts, aux, key = self._step_apply(
+                    params, np.asarray(self.obs), key
+                )
             acts = np.asarray(acts)
             out = self.venv.step(acts)
             recs["obs"].append(self.obs)

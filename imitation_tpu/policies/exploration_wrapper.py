@@ -89,34 +89,56 @@ class ExplorationWrapper:
         )
         return env_state, mode_random, chunk
 
-    def host_policy_fn(self):
+    def host_policy_fn(self, seed: int = 0):
         """Stateful per-step policy callable for HOST envs.
 
         Same Markov-switching math as :meth:`collect`, expressed through the
         standard rollout policy interface ``(params, obs, key) -> (acts,
         aux)`` so it plugs into ``rollout.generate_trajectories`` on
         host-stepped (MuJoCo / gym-bridge) envs, where the scanned device
-        path cannot run. The per-env mode persists across calls in the
-        closure.
+        path cannot run.
+
+        The per-env mode is HOST state (numpy), and the callable is marked
+        ``host_stateful`` so collectors run it eagerly instead of wrapping
+        it in ``jax.jit`` — under jit the closure would only execute at
+        trace time, freezing/leaking the mode (the reference's wrapper is
+        likewise a stateful host object, exploration_wrapper.py:12-95). The
+        returned fn is cached on the wrapper so the mode persists across
+        rollout passes, and it returns empty aux (matching the device
+        ``collect`` path; the policy's log-probs would not describe the
+        substituted random actions).
         """
+        cached = getattr(self, "_host_fn_cache", None)
+        if cached is not None:
+            return cached
+
+        import numpy as np
+
         space = self.venv.action_space
         B = self.venv.num_envs
         state = {"mode": None}
+        host_rng = np.random.default_rng(seed)
+        def _sample(params, obs, key):
+            k_act, k_rand = jax.random.split(key)
+            pol_acts, _ = self.policy_apply(params, obs, k_act)
+            rand_acts = jax.vmap(space.sample)(jax.random.split(k_rand, B))
+            return pol_acts, rand_acts
+
+        sample_acts = jax.jit(_sample)
 
         def f(params, obs, key):
-            k_act, k_rand, k_switch, k_new, k_init = jax.random.split(key, 5)
-            pol_acts, aux = self.policy_apply(params, obs, k_act)
-            rand_acts = jax.vmap(space.sample)(jax.random.split(k_rand, B))
-            rand_acts = rand_acts.astype(pol_acts.dtype)
+            pol_acts, rand_acts = jax.device_get(sample_acts(params, obs, key))
+            pol_acts = np.asarray(pol_acts)
+            rand_acts = np.asarray(rand_acts).astype(pol_acts.dtype)
             if state["mode"] is None:
-                state["mode"] = (
-                    jax.random.uniform(k_init, (B,)) < self.random_prob
-                )
+                state["mode"] = host_rng.random(B) < self.random_prob
             m = state["mode"].reshape((B,) + (1,) * (pol_acts.ndim - 1))
-            acts = jnp.where(m, rand_acts, pol_acts)
-            switch = jax.random.uniform(k_switch, (B,)) < self.switch_prob
-            new_mode = jax.random.uniform(k_new, (B,)) < self.random_prob
-            state["mode"] = jnp.where(switch, new_mode, state["mode"])
-            return acts, aux
+            acts = np.where(m, rand_acts, pol_acts)
+            switch = host_rng.random(B) < self.switch_prob
+            new_mode = host_rng.random(B) < self.random_prob
+            state["mode"] = np.where(switch, new_mode, state["mode"])
+            return acts, {}
 
+        f.host_stateful = True
+        self._host_fn_cache = f
         return f

@@ -72,6 +72,66 @@ def test_mode_persistence_with_no_switching():
     assert acts[:, policy_envs].sum() == 0
 
 
+def test_host_policy_fn_mode_persists_across_steps():
+    """Host path regression (round-3 advisor): with switch_prob=0 every env
+    must keep its initial mode for the WHOLE rollout even though the
+    collector drives the policy step-by-step. The old implementation kept
+    the mode in a Python closure executed under jax.jit, so the compiled
+    program redrew the mode every step (i.i.d. mixture instead of
+    Markov-switching)."""
+    from imitation_tpu.data import rollout as rollout_mod
+    from imitation_tpu.envs.gym_bridge import GymHostEnv, HostVectorEnv
+
+    env = GymHostEnv("CartPole-v1")
+    venv = HostVectorEnv(env, num_envs=16, max_episode_steps=200, num_threads=1)
+    pol = ZeroPolicy(venv.observation_space, venv.action_space)
+    wrapper = ExplorationWrapper(
+        pol.sample_fn(), venv, random_prob=0.5, switch_prob=0.0
+    )
+    host_fn = wrapper.host_policy_fn(seed=3)
+    assert getattr(host_fn, "host_stateful", False)
+    collector = rollout_mod.HostCollector(venv, host_fn, {}, seed=0)
+    chunk = collector.collect(64)
+    acts = np.asarray(chunk.acts)  # [T=64, B=16]
+    # Each env is either pure policy (all zeros) or pure random for all 64
+    # steps. A random-mode env emits all-zero actions w.p. 2^-64; a
+    # policy-mode env emitting any nonzero action is impossible.
+    per_env_sum = acts.sum(axis=0)
+    n_random = int((per_env_sum > 0).sum())
+    for b in range(16):
+        if per_env_sum[b] > 0:  # random mode: ~Bernoulli(1/2) actions
+            assert 8 <= acts[:, b].sum() <= 56, (
+                f"env {b} looks like a mixed mode: {acts[:, b].sum()}/64 ones"
+            )
+    # with random_prob=0.5 over 16 envs, both pure modes should appear and
+    # mixed modes cannot (P[all 16 same mode] = 2^-15)
+    assert 0 < n_random < 16
+    # aux must be empty: the policy's log-probs would not describe
+    # substituted random actions (matches the device collect path)
+    assert chunk.aux == {}
+    venv.close()
+
+
+def test_host_policy_fn_mode_switches_when_asked():
+    """switch_prob=1, random_prob=1: every step resamples into random mode;
+    the zero policy's actions must be overridden essentially everywhere."""
+    from imitation_tpu.data import rollout as rollout_mod
+    from imitation_tpu.envs.gym_bridge import GymHostEnv, HostVectorEnv
+
+    env = GymHostEnv("CartPole-v1")
+    venv = HostVectorEnv(env, num_envs=8, max_episode_steps=200, num_threads=1)
+    pol = ZeroPolicy(venv.observation_space, venv.action_space)
+    wrapper = ExplorationWrapper(
+        pol.sample_fn(), venv, random_prob=1.0, switch_prob=1.0
+    )
+    collector = rollout_mod.HostCollector(
+        venv, wrapper.host_policy_fn(seed=5), {}, seed=0
+    )
+    acts = np.asarray(collector.collect(32).acts)
+    assert acts.sum() > 0.25 * acts.size  # ~half should be ones
+    venv.close()
+
+
 def test_policy_predict_api():
     venv = make_vec_env("CartPole-v1", num_envs=2)
     policy = ActorCriticPolicy(
