@@ -188,6 +188,77 @@ def train_expert(
     return final
 
 
+def train_expert_sac(
+    key: str, seed: int = 0, total_timesteps: int = 1_000_000,
+    out_root: str = OUT_ROOT, num_envs: int = 16,
+) -> float:
+    """SAC expert (continuous-control envs where PPO's tuned ceiling is
+    low — e.g. HalfCheetah, where SAC reliably clears 2500+). Mirrors the
+    reference's SAC expert option (scripts/ingredients/rl.py:104-120 `sac`
+    named config); saved in the same expert layout."""
+    from imitation_tpu.rl.sac import SAC, SACConfig
+
+    spec = SPECS[key]
+    venv = make_vec_env(spec.env_name, num_envs=num_envs)
+    train_freq = 16  # 256 transitions per round at 16 envs
+    sac = SAC(
+        venv,
+        SACConfig(
+            train_freq=train_freq,
+            gradient_steps=train_freq * num_envs,  # update-to-data ratio 1
+            learning_starts=10_000,
+            batch_size=256,
+        ),
+        seed=seed,
+    )
+    state = sac.init_state()
+    t0 = time.time()
+    steps_per_chunk = 50 * train_freq * num_envs
+    total = 0
+    best = -np.inf
+    while total < total_timesteps:
+        chunk = min(total_timesteps - total, steps_per_chunk)
+        state = sac.learn(state, chunk)
+        total += chunk
+        trajs = rollout_mod.generate_trajectories(
+            sac.policy.sample_fn(), {"params": state.actor_params}, venv,
+            rollout_mod.make_min_episodes(3), rng=seed + 7,
+        )
+        ret = float(np.mean([t.rews.sum() for t in trajs]))
+        best = max(best, ret)
+        print(f"[{key}/sac] {total}/{total_timesteps} steps eval3={ret:.1f} "
+              f"best={best:.1f} ({time.time()-t0:.0f}s)", flush=True)
+
+    policy = sac.policy
+    variables = {"params": state.actor_params}
+    final = float(np.mean([
+        t.rews.sum() for t in rollout_mod.generate_trajectories(
+            policy.sample_fn(), variables, venv,
+            rollout_mod.make_min_episodes(spec.n_eval_episodes), rng=seed + 1,
+        )
+    ]))
+    print(f"[{key}/sac] final eval{spec.n_eval_episodes}={final:.1f}")
+    out_dir = os.path.join(out_root, key)
+    policy_serialize.save_policy(
+        os.path.join(out_dir, "policy"), policy, variables
+    )
+    trajs = rollout_mod.generate_trajectories(
+        policy.sample_fn(), variables, venv,
+        rollout_mod.make_min_episodes(spec.rollout_save_n_episodes),
+        rng=seed + 2,
+    )
+    serialize.save(os.path.join(out_dir, "rollouts"), trajs)
+    summary_path = os.path.join(out_root, "summary.json")
+    summary = {}
+    if os.path.exists(summary_path):
+        with open(summary_path) as f:
+            summary = json.load(f)
+    summary[key] = final
+    with open(summary_path, "w") as f:
+        json.dump(summary, f, indent=1)
+    return final
+
+
 def _quick_eval(ppo, state, venv, n_episodes: int, seed: int) -> float:
     trajs = rollout_mod.generate_trajectories(
         ppo.policy.sample_fn(), state.variables, venv,
@@ -210,6 +281,13 @@ if __name__ == "__main__":
         i = argv.index("--out-root")
         out_root = argv[i + 1]
         del argv[i : i + 2]
+    use_sac = "--sac" in argv
+    argv = [a for a in argv if a != "--sac"]
     keys = argv or list(SPECS)
     for k in keys:
-        train_expert(k, resume=resume, extra_timesteps=extra, out_root=out_root)
+        if use_sac:
+            train_expert_sac(
+                k, total_timesteps=extra or 1_000_000, out_root=out_root
+            )
+        else:
+            train_expert(k, resume=resume, extra_timesteps=extra, out_root=out_root)

@@ -177,17 +177,14 @@ class SAC:
     ):
         if venv.action_space.is_discrete:
             raise ValueError("SAC requires a continuous action space")
-        # SAC's collect loop is a lax.scan over venv.step — device envs only
-        # (unlike PPO, which has a host-collector branch). Fail loudly here
-        # rather than obscurely inside the jitted scan; adversarial
-        # train_fused also reads this attribute for its own guard.
+        # Host (MuJoCo/gym-bridge) envs take the PPO-style split: env
+        # stepping through a HostCollector, everything after the collect —
+        # replay store + all gradient updates — in one jitted program per
+        # round (train_freq host steps, then gradient_steps scanned
+        # updates). Device envs keep the fully-fused collect+update scan.
+        # Adversarial train_fused reads is_host_env for its own guard.
         self.is_host_env = bool(getattr(venv, "is_host", False))
-        if self.is_host_env:
-            raise ValueError(
-                "SAC requires a device (pure-JAX) vector env; got a "
-                "host-stepped env. Use PPO for host (MuJoCo/gym-bridge) "
-                "envs, or a device implementation of this env."
-            )
+        self._host_collector = None
         self.venv = venv
         self.config = config
         self.act_dim = venv.action_space.flat_dim
@@ -216,7 +213,7 @@ class SAC:
         )
         self._auto_alpha = config.ent_coef == "auto"
         self._fixed_alpha = None if self._auto_alpha else float(config.ent_coef)
-        self._train_step_jit = jax.jit(self.train_step)
+        self.rebind()
 
     def _scale(self, squashed: jnp.ndarray) -> jnp.ndarray:
         return (
@@ -238,6 +235,16 @@ class SAC:
             dones=jnp.zeros((1,)),
             rews=jnp.zeros((1,)),
         )
+        if self.is_host_env:
+            from imitation_tpu.data import rollout as rollout_mod
+
+            env_state = None
+            self._host_collector = rollout_mod.HostCollector(
+                self.venv, self.sample_fn(), {"params": actor_params},
+                seed=self._seed,
+            )
+        else:
+            env_state = self.venv.reset(kenv)
         return SACState(
             actor_params=actor_params,
             critic_params=critic_params,
@@ -246,7 +253,7 @@ class SAC:
             actor_opt=self.actor_optimizer.init(actor_params),
             critic_opt=self.critic_optimizer.init(critic_params),
             alpha_opt=self.alpha_optimizer.init(jnp.zeros(())),
-            env_state=self.venv.reset(kenv),
+            env_state=env_state,
             buffer_state=self.replay.init_state(example),
             key=key,
             timesteps=jnp.zeros((), jnp.int32),
@@ -299,8 +306,51 @@ class SAC:
         env_state, (trs, infos) = jax.lax.scan(step_fn, state.env_state, keys)
         flat = lambda x: x.reshape((cfg.train_freq * B,) + x.shape[2:])
         transitions = jax.tree.map(flat, trs)
+        return self._process(
+            state, env_state, transitions, infos["done"], infos["ep_return"],
+            key, reward_params,
+        )
+
+    def train_step_host(self, state: SACState, reward_params: Any = None):
+        """Host-env path: ``train_freq`` env steps through the host
+        collector, then the identical jitted store+update program. The
+        off-policy round semantics match SB3's ``train_freq``/
+        ``gradient_steps`` (reference rl ingredient, ingredients/rl.py:104-120)."""
+        assert self._host_collector is not None, "call init_state() first"
+        self._host_collector.params = {"params": state.actor_params}
+        chunk = self._host_collector.collect(self.config.train_freq)
+        key, k_proc = jax.random.split(state.key)
+        state = state.replace(key=key)
+        T, B = chunk.acts.shape[0], chunk.acts.shape[1]
+        flat = lambda x: x.reshape((T * B,) + x.shape[2:])
+        transitions = TransitionBatch(
+            obs=jax.tree.map(flat, chunk.obs),
+            acts=flat(chunk.acts),
+            next_obs=jax.tree.map(flat, chunk.next_obs),
+            # bootstrap cut on true termination only — truncation (time
+            # limit) must still bootstrap, like the device step_fn above
+            dones=flat(chunk.terminated.astype(jnp.float32)),
+            rews=flat(chunk.rews),
+        )
+        done = jnp.asarray(chunk.terminated | chunk.truncated)
+        return self._process_jit(
+            state, None, transitions, done, jnp.asarray(chunk.episode_return),
+            k_proc, reward_params,
+        )
+
+    def _process(
+        self,
+        state: SACState,
+        env_state,
+        transitions: TransitionBatch,
+        done,
+        ep_return,
+        key: jax.Array,
+        reward_params: Any = None,
+    ):
+        cfg = self.config
         buffer_state = self.replay.store(state.buffer_state, transitions)
-        new_timesteps = state.timesteps + cfg.train_freq * B
+        new_timesteps = state.timesteps + transitions.rews.shape[0]
         can_learn = buffer_state.size >= jnp.minimum(
             cfg.learning_starts, self.replay.capacity
         )
@@ -410,12 +460,12 @@ class SAC:
         (actor_params, critic_params, target_params, log_alpha,
          actor_opt, critic_opt, alpha_opt) = carry
 
-        done_f = infos["done"].astype(jnp.float32)
+        done_f = done.astype(jnp.float32)
         n_done = done_f.sum()
         metrics = {k: v.mean() for k, v in aux.items()}
         metrics["ep_return_mean"] = jnp.where(
             n_done > 0,
-            (infos["ep_return"] * done_f).sum() / jnp.maximum(n_done, 1),
+            (ep_return * done_f).sum() / jnp.maximum(n_done, 1),
             jnp.nan,
         )
         metrics["buffer_size"] = buffer_state.size
@@ -440,7 +490,11 @@ class SAC:
 
     def rebind(self) -> None:
         """Re-jit after hooks (relabel_fn/return_transitions) change."""
-        self._train_step_jit = jax.jit(self.train_step)
+        if self.is_host_env:
+            self._process_jit = jax.jit(self._process)
+            self._train_step_jit = self.train_step_host
+        else:
+            self._train_step_jit = jax.jit(self.train_step)
 
     def log_prob_fn(self):
         """log pi(a|s) of env-scaled actions, incl. the affine-rescale

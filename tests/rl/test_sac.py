@@ -82,16 +82,37 @@ def test_sac_learns_pendulum():
     assert late > -1000
 
 
-def test_sac_host_env_rejected():
-    """SAC's collect loop is a device-only lax.scan; host envs get a clear
-    error instead of an obscure trace failure."""
-    import pytest
-
+def test_sac_host_env_path():
+    """SAC on a HOST (gym-bridge) env: train_freq steps collected through
+    the host collector, then the identical jitted store+update program —
+    formerly rejected with a ValueError, now the PPO-style host split.
+    Checks round structure (timesteps/updates advance by the configured
+    amounts) and that the trained actor rolls out finitely."""
+    from imitation_tpu.data import rollout as rmod
     from imitation_tpu.envs.gym_bridge import GymHostEnv, HostVectorEnv
-    from imitation_tpu.rl.sac import SAC
+    from imitation_tpu.rl.sac import SAC, SACConfig
 
     env = GymHostEnv("Pendulum-v1")
-    venv = HostVectorEnv(env, num_envs=2, max_episode_steps=10, num_threads=1)
-    with pytest.raises(ValueError, match="device .pure-JAX. vector env"):
-        SAC(venv)
+    venv = HostVectorEnv(env, num_envs=2, max_episode_steps=20, num_threads=1)
+    sac = SAC(
+        venv,
+        SACConfig(train_freq=4, gradient_steps=8, learning_starts=16,
+                  buffer_size=1000, batch_size=32,
+                  actor_hid_sizes=(16,), critic_hid_sizes=(16,)),
+        seed=0,
+    )
+    state = sac.init_state()
+    assert state.env_state is None  # host path keeps env state on host
+    state, metrics = sac._train_step_jit(state, None)
+    assert int(state.timesteps) == 4 * 2
+    assert int(state.n_updates) == 8
+    state = sac.learn(state, 64)
+    assert int(state.timesteps) >= 64
+    for k in ["critic_loss", "actor_loss", "alpha", "entropy"]:
+        assert np.isfinite(float(metrics[k])), k
+    trajs = rmod.generate_trajectories(
+        sac.policy.sample_fn(), {"params": state.actor_params}, venv,
+        rmod.make_min_episodes(2), rng=3,
+    )
+    assert all(np.isfinite(np.asarray(t.rews)).all() for t in trajs)
     venv.close()
