@@ -94,7 +94,10 @@ def run_density(seed: int = 0) -> None:
         seed=seed,
     )
     algo.train()
-    algo.train_policy(n_timesteps=200_000)
+    # 500k PPO steps: the density reward is fixed after fitting, so RL
+    # budget is the lever (200k left Pendulum at ~-718; 500k reaches ~-441,
+    # the round-3 tuned evidence row).
+    algo.train_policy(n_timesteps=500_000)
     stats = algo.test_policy(n_trajectories=50, true_reward=True)
     _record("density/pendulum", float(stats["return_mean"]), seed, t0)
 

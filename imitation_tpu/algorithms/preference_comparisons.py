@@ -1050,6 +1050,11 @@ class BasicRewardTrainer(RewardTrainer):
             else None
         )
         self._key = jax.random.key(seed)
+        # Optional NamedSharding for update batches (set by
+        # parallel.mesh.shard_preference_comparisons): fragment batches are
+        # placed with their sample axis over 'dp' before each jitted update
+        # so the reward-gradient psum runs over the mesh.
+        self.batch_sharding = None
         self._update_jit = jax.jit(self._update)
 
     def attach(self, variables: Any) -> None:
@@ -1175,8 +1180,14 @@ class BasicRewardTrainer(RewardTrainer):
                     [sel, np.zeros(self.batch_size - len(sel), sel.dtype)]
                 )
                 mb = jax.tree.map(lambda x: x[jnp.asarray(sel)], train_batch_all)
+                w_dev = jnp.asarray(w)
+                if self.batch_sharding is not None:
+                    mb = jax.tree.map(
+                        lambda x: jax.device_put(x, self.batch_sharding), mb
+                    )
+                    w_dev = jax.device_put(w_dev, self.batch_sharding)
                 self.variables, self.opt_state, metrics = self._update_jit(
-                    self.variables, self.opt_state, mb, jnp.asarray(w), lam
+                    self.variables, self.opt_state, mb, w_dev, lam
                 )
             last_metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
             for k, v in last_metrics.items():
@@ -1305,8 +1316,15 @@ class EnsembleTrainer(BasicRewardTrainer):
                 pad = np.zeros((M, self.batch_size - b_true), sel.dtype)
                 idx = jnp.asarray(np.concatenate([sel, pad], axis=1))
                 mb = jax.tree.map(lambda x: x[idx], train_batch_all)
+                w_dev = jnp.asarray(w)
+                if self.batch_sharding is not None:
+                    # sample axis is axis 1 here ([member, sample, ...])
+                    mb = jax.tree.map(
+                        lambda x: jax.device_put(x, self.batch_sharding), mb
+                    )
+                    w_dev = jax.device_put(w_dev, self.batch_sharding)
                 self.variables, self.opt_state, metrics = self._update_jit(
-                    self.variables, self.opt_state, mb, jnp.asarray(w), lam
+                    self.variables, self.opt_state, mb, w_dev, lam
                 )
             last_metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
             for k, v in last_metrics.items():

@@ -135,6 +135,89 @@ def shard_adversarial_trainer(trainer: Any, mesh: Mesh, tp_params: bool = True) 
     return trainer
 
 
+def shard_sac_state(state: Any, mesh: Mesh, tp_params: bool = True) -> Any:
+    """Places a SACState on ``mesh``: actor/critic/target params and their
+    optimizer states tp-sharded (replicated at tp=1), env state and the
+    replay ring batch-sharded over ``dp`` (ring capacity divisible by dp;
+    indivisible leaves and scalars replicate), temperature and RNG
+    replicated. Covers the PEBBLE (SAC generator) RLHF configuration."""
+    place = (
+        (lambda t: shard_params_tp(t, mesh))
+        if tp_params
+        else (lambda t: replicate_tree(t, mesh))
+    )
+    rep = replicated(mesh)
+    put_rep = lambda x: jax.device_put(jax.numpy.asarray(x), rep)
+    return state.replace(
+        actor_params=place(state.actor_params),
+        critic_params=place(state.critic_params),
+        target_critic_params=place(state.target_critic_params),
+        log_alpha=put_rep(state.log_alpha),
+        actor_opt=place(state.actor_opt),
+        critic_opt=place(state.critic_opt),
+        alpha_opt=replicate_tree(state.alpha_opt, mesh),
+        env_state=(
+            shard_batch_tree(state.env_state, mesh)
+            if state.env_state is not None else None
+        ),
+        buffer_state=shard_batch_tree(state.buffer_state, mesh),
+        key=put_rep(state.key),
+        timesteps=put_rep(state.timesteps),
+        n_updates=put_rep(state.n_updates),
+    )
+
+
+def shard_preference_comparisons(pc: Any, mesh: Mesh, tp_params: bool = True) -> Any:
+    """Places a PreferenceComparisons run's full state on ``mesh`` (SURVEY
+    §2.8: the mesh story must cover the flagship RLHF module).
+
+    Layout: reward-trainer params + optimizer state tp-sharded (replicated
+    at tp=1); every reward-update fragment batch dp-sharded on its sample
+    axis (member axis stays unsharded for ensembles — the sample axis is
+    axis 1 there); the agent trainer's RL/SAC state placed via
+    ``shard_rl_state`` / ``shard_sac_state`` (env batch over dp, params
+    over tp). XLA then inserts dp-psums for both reward-net and policy
+    gradients and tp collectives for the matmuls.
+    """
+    from imitation_tpu.algorithms.preference_comparisons import (
+        AgentTrainer,
+        EnsembleTrainer,
+        SACAgentTrainer,
+    )
+
+    rt = pc.reward_trainer
+    dp = mesh.shape["dp"]
+    if rt.batch_size % dp != 0:
+        raise ValueError(
+            f"reward trainer batch_size={rt.batch_size} must be divisible "
+            f"by dp={dp} to shard fragment batches"
+        )
+    place = (
+        (lambda t: shard_params_tp(t, mesh))
+        if tp_params
+        else (lambda t: replicate_tree(t, mesh))
+    )
+    if rt.variables is None:
+        raise RuntimeError("reward trainer not attached; build the "
+                           "PreferenceComparisons first")
+    rt.variables = place(rt.variables)
+    rt.opt_state = place(rt.opt_state)
+    sample_axis = 1 if isinstance(rt, EnsembleTrainer) else 0
+    rt.batch_sharding = NamedSharding(
+        mesh, P(*([None] * sample_axis + ["dp"]))
+    )
+    pc.reward_variables = rt.variables
+
+    tg = pc.trajectory_generator
+    if isinstance(tg, SACAgentTrainer):
+        tg.state = shard_sac_state(tg.state, mesh, tp_params)
+    elif isinstance(tg, AgentTrainer):
+        tg.state = shard_rl_state(tg.state, mesh, tp_params)
+    if getattr(tg, "reward_variables", None) is not None:
+        tg.reward_variables = rt.variables
+    return pc
+
+
 def shard_rl_state(state: Any, mesh: Mesh, tp_params: bool = True) -> Any:
     """Places an RLState (or similar): env_state batch-sharded over dp,
     variables/opt_state tp-sharded (or replicated), scalars replicated."""

@@ -159,3 +159,121 @@ def test_checkpoint_cross_layout_resume(tmp_path):
         jax.tree.leaves(s8.variables["params"]),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_rlhf_iterations_to_accuracy_gate():
+    """Two full RLHF iterations (sample -> fragment -> gather -> reward
+    train -> agent train) with every state placed on a dp x tp mesh
+    (VERDICT r3 item 5): reward-trainer params/opt over tp, fragment
+    batches over dp, PPO agent state dp/tp-sharded. Gates on reward-model
+    train accuracy AND on the tp sharding surviving the jitted updates."""
+    from imitation_tpu.algorithms import preference_comparisons as pc
+    from imitation_tpu.envs import make_vec_env
+    from imitation_tpu.models.policies import ActorCriticPolicy
+    from imitation_tpu.rewards.reward_nets import BasicRewardNet
+    from imitation_tpu.rl.ppo import PPO, PPOConfig
+
+    m = mesh_mod.make_mesh(dp=4, tp=2)
+    venv = make_vec_env("Pendulum-v1", num_envs=8)
+    policy = ActorCriticPolicy(
+        observation_space=venv.observation_space,
+        action_space=venv.action_space,
+        hid_sizes=(16,),
+    )
+    ppo = PPO(venv, policy, PPOConfig(n_steps=16, n_minibatches=2, n_epochs=2),
+              seed=0)
+    net = BasicRewardNet(
+        observation_space=venv.observation_space,
+        action_space=venv.action_space,
+    )
+    agent_trainer = pc.AgentTrainer(ppo, net, venv, rng=0)
+    pm = pc.PreferenceModel(net)
+    reward_trainer = pc.BasicRewardTrainer(
+        pm, rng=0, batch_size=32, epochs=4, lr=2e-3,
+    )
+    trainer = pc.PreferenceComparisons(
+        agent_trainer,
+        net,
+        num_iterations=2,
+        reward_trainer=reward_trainer,
+        fragmenter=pc.RandomFragmenter(rng=0, warning_threshold=0),
+        preference_gatherer=pc.SyntheticGatherer(
+            rng=np.random.default_rng(0), sample=False
+        ),
+        fragment_length=16,
+        transition_oversampling=1.5,
+        initial_comparison_frac=0.25,
+        initial_epoch_multiplier=8.0,
+        allow_variable_horizon=True,
+        rng=0,
+        seed=0,
+    )
+    with m:
+        mesh_mod.shard_preference_comparisons(trainer, m)
+        assert reward_trainer.batch_sharding is not None
+        result = trainer.train(total_timesteps=512, total_comparisons=80)
+    # the reward net learned the synthetic preferences to better than chance
+    assert result["reward_accuracy"] is not None
+    assert float(result["reward_accuracy"]) >= 0.6
+    # tp sharding survived the jitted reward updates (kernels stay split)
+    kernels = [
+        v for p, v in jax.tree_util.tree_leaves_with_path(
+            reward_trainer.variables["params"]
+        )
+        if "kernel" in jax.tree_util.keystr(p)
+    ]
+    assert any(not k.sharding.is_fully_replicated for k in kernels)
+    # agent state advanced under its dp/tp placement
+    assert int(agent_trainer.state.timesteps) >= 512
+
+
+def test_shard_sac_state_pebble():
+    """PEBBLE configuration: SACAgentTrainer state placed on the mesh and
+    one RLHF iteration runs (replay ring dp-sharded, actor/critic tp)."""
+    from imitation_tpu.algorithms import preference_comparisons as pc
+    from imitation_tpu.envs import make_vec_env
+    from imitation_tpu.rewards.reward_nets import BasicRewardNet
+    from imitation_tpu.rl.sac import SAC, SACConfig
+
+    m = mesh_mod.make_mesh(dp=8, tp=1)
+    venv = make_vec_env("Pendulum-v1", num_envs=8)
+    sac = SAC(
+        venv,
+        SACConfig(train_freq=4, gradient_steps=4, learning_starts=32,
+                  buffer_size=1024, batch_size=32,
+                  actor_hid_sizes=(16,), critic_hid_sizes=(16,)),
+        seed=0,
+    )
+    net = BasicRewardNet(
+        observation_space=venv.observation_space,
+        action_space=venv.action_space,
+    )
+    agent = pc.SACAgentTrainer(sac, net, venv, rng=0)
+    pm = pc.PreferenceModel(net)
+    trainer = pc.PreferenceComparisons(
+        agent,
+        net,
+        num_iterations=1,
+        reward_trainer=pc.BasicRewardTrainer(pm, rng=0, batch_size=16, epochs=2),
+        fragmenter=pc.RandomFragmenter(rng=0, warning_threshold=0),
+        preference_gatherer=pc.SyntheticGatherer(rng=np.random.default_rng(0)),
+        fragment_length=8,
+        initial_epoch_multiplier=2.0,
+        allow_variable_horizon=True,
+        rng=0,
+        seed=0,
+    )
+    with m:
+        mesh_mod.shard_preference_comparisons(trainer, m)
+        # replay ring really is dp-sharded
+        ring_leaves = [
+            x for x in jax.tree_util.tree_leaves(agent.state.buffer_state)
+            if hasattr(x, "sharding") and x.ndim >= 1 and x.shape[0] == 1024
+        ]
+        assert ring_leaves and all(
+            not x.sharding.is_fully_replicated for x in ring_leaves
+        )
+        result = trainer.train(total_timesteps=128, total_comparisons=24)
+    assert result["reward_loss"] is not None
+    assert np.isfinite(float(result["reward_loss"]))
+    assert int(agent.state.timesteps) >= 128
