@@ -100,10 +100,19 @@ def run_bc(env_key: str, seed: int, total_override=None):
     batch_size, l2, lr, n_epochs = BC_HPS[env_key]
     venv = make_vec_env(ENV_IDS[env_key], num_envs=16)
     _, _, demos = load_expert(env_key, venv)
+    # FeedForward32 + NormalizeFeaturesExtractor: every reference tuned
+    # bc config pins this (config/tuned_hps/bc_*_best_hp_eval.json).
+    policy = ActorCriticPolicy(
+        observation_space=venv.observation_space,
+        action_space=venv.action_space,
+        hid_sizes=(32, 32),
+        normalize_features=True,
+    )
     bc = BC(
         observation_space=venv.observation_space,
         action_space=venv.action_space,
         demonstrations=demos,
+        policy=policy,
         rng=seed,
         batch_size=batch_size,
         l2_weight=l2,
@@ -135,6 +144,12 @@ def run_dagger(env_key: str, seed: int, total_override=None):
     bc = BC(
         observation_space=venv.observation_space,
         action_space=venv.action_space,
+        policy=ActorCriticPolicy(
+            observation_space=venv.observation_space,
+            action_space=venv.action_space,
+            hid_sizes=(32, 32),
+            normalize_features=True,
+        ),
         rng=seed,
         batch_size=16,
         l2_weight=1e-4,

@@ -247,6 +247,23 @@ class BC(base.DemonstrationAlgorithm):
             raise ValueError("No demonstrations provided.")
         if (n_epochs is not None) == (n_batches is not None):
             raise ValueError("Must provide exactly one of `n_epochs` and `n_batches`.")
+        # NormalizeFeaturesExtractor semantics (the reference's tuned
+        # bc/dagger configs all use it, config/tuned_hps/bc_*_best_hp_eval
+        # .json "features_extractor_class"): RunningNorm stats accumulate
+        # from training forwards, converging to the demo distribution. Fold
+        # the full demo set once per train() call — without this an
+        # unnormalized tanh torso saturates on wide-range obs (e.g. seals
+        # x-positions reaching hundreds for fast experts).
+        if getattr(self._policy, "normalize_features", False):
+            batch = self._demo_store.batch
+            out = self._policy.evaluate_actions(
+                self.state.variables, batch.obs, batch.acts, update_stats=True
+            )
+            mutated = out[-1]
+            self.state = dataclasses.replace(
+                self.state,
+                variables={**self.state.variables, **mutated},
+            )
         n_per_epoch = self._demo_store.num_samples // self.batch_size
         if n_per_epoch == 0:
             raise ValueError("Not enough demonstrations for one batch.")
