@@ -183,9 +183,35 @@ def shard_batch_tree_global(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(place, tree)
 
 
-def shard_rl_state_global(state: Any, mesh: Mesh) -> Any:
+def shard_params_tp_global(params: Any, mesh: Mesh) -> Any:
+    """Multi-process tensor-parallel placement: dense kernels split their
+    output dim over ``tp`` (biases likewise), everything else replicated.
+
+    ``tp`` never crosses a process boundary (make_global_mesh), so each
+    process's devices jointly hold ALL tp shards — every process passes the
+    identical full array and keeps its local tp split."""
+    kernel_sh = NamedSharding(mesh, P(None, "tp"))
+    bias_sh = NamedSharding(mesh, P("tp"))
+    rep = NamedSharding(mesh, P())
+    tp = mesh.shape["tp"]
+
+    def place(path, x):
+        x = np.asarray(x)
+        names = [getattr(p, "key", str(p)) for p in path]
+        leaf = names[-1] if names else ""
+        if leaf == "kernel" and x.ndim == 2 and x.shape[1] % tp == 0:
+            return jax.make_array_from_process_local_data(kernel_sh, x)
+        if leaf == "bias" and x.ndim == 1 and x.shape[0] % tp == 0:
+            return jax.make_array_from_process_local_data(bias_sh, x)
+        return jax.make_array_from_process_local_data(rep, x)
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def shard_rl_state_global(state: Any, mesh: Mesh, tp_params: bool = False) -> Any:
     """Places an RLState for multi-process SPMD training: env batch sharded
-    over the global dp axis (process-major), params/opt replicated.
+    over the global dp axis (process-major), params/opt replicated (or
+    tp-sharded with ``tp_params=True``).
 
     Counterpart of ``mesh.shard_rl_state`` (single-process); requires every
     process to hold the identical full state (same seed init)."""
@@ -202,9 +228,14 @@ def shard_rl_state_global(state: Any, mesh: Mesh) -> Any:
     if getattr(state, "reward_norm", None) is not None:
         # per-env return accumulators shard with the env batch
         kwargs["reward_norm"] = shard_batch_tree_global(state.reward_norm, mesh)
+    place_params = (
+        (lambda t: shard_params_tp_global(t, mesh))
+        if tp_params
+        else (lambda t: replicate_global(t, mesh))
+    )
     return state.replace(
-        variables=replicate_global(state.variables, mesh),
-        opt_state=replicate_global(state.opt_state, mesh),
+        variables=place_params(state.variables),
+        opt_state=place_params(state.opt_state),
         env_state=placed_env,
         key=key,
         timesteps=replicate_global(state.timesteps, mesh),

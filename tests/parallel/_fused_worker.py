@@ -11,7 +11,8 @@ import sys
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
-    + " --xla_force_host_platform_device_count=4"
+    + " --xla_force_host_platform_device_count="
+    + os.environ.get("WORKER_LOCAL_DEVICES", "4")
 )
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
@@ -31,9 +32,9 @@ from imitation_tpu.testing import experts  # noqa: E402
 def main(out_dir: str) -> None:
     distributed.initialize()
     pid = jax.process_index()
-    assert jax.process_count() == 2
+    assert jax.process_count() == int(os.environ.get("JAX_NUM_PROCESSES", "2"))
 
-    mesh = distributed.make_global_mesh(tp=1)
+    mesh = distributed.make_global_mesh(tp=int(os.environ.get("WORKER_TP", "1")))
     venv = make_vec_env("CartPole-v1", num_envs=16, max_episode_steps=16)
     demos = experts.generate_expert_trajectories(
         "CartPole-v1", venv, min_episodes=2, seed=0

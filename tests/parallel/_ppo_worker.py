@@ -10,7 +10,8 @@ import sys
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
-    + " --xla_force_host_platform_device_count=4"
+    + " --xla_force_host_platform_device_count="
+    + os.environ.get("WORKER_LOCAL_DEVICES", "4")
 )
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
@@ -29,9 +30,9 @@ from imitation_tpu.rl.ppo import PPO, PPOConfig  # noqa: E402
 def main(out_dir: str) -> None:
     distributed.initialize()
     pid = jax.process_index()
-    assert jax.process_count() == 2
+    assert jax.process_count() == int(os.environ.get("JAX_NUM_PROCESSES", "2"))
 
-    mesh = distributed.make_global_mesh(tp=1)
+    mesh = distributed.make_global_mesh(tp=int(os.environ.get("WORKER_TP", "1")))
     venv = make_vec_env("CartPole-v1", num_envs=16, max_episode_steps=16)
     policy = ActorCriticPolicy(
         observation_space=venv.observation_space,
@@ -45,7 +46,8 @@ def main(out_dir: str) -> None:
     )
     state = ppo.init_state()  # identical on both processes (same seed)
     with mesh:
-        state = distributed.shard_rl_state_global(state, mesh)
+        tp = int(os.environ.get("WORKER_TP", "1"))
+        state = distributed.shard_rl_state_global(state, mesh, tp_params=tp > 1)
         for _ in range(2):
             state, metrics = ppo._train_step_jit(state, None)
         jax.block_until_ready(state.variables)

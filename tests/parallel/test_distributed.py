@@ -22,18 +22,19 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_workers(module: str, tmp_path) -> None:
+def _run_workers(module: str, tmp_path, n_procs: int = 2, extra_env=None) -> None:
     port = _free_port()
     procs = []
-    for pid in range(2):
+    for pid in range(n_procs):
         env = dict(os.environ)
-        env.pop("XLA_FLAGS", None)  # worker sets its own 4-device flag
+        env.pop("XLA_FLAGS", None)  # worker sets its own device-count flag
         env.update(
             JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
-            JAX_NUM_PROCESSES="2",
+            JAX_NUM_PROCESSES=str(n_procs),
             JAX_PROCESS_ID=str(pid),
             JAX_PLATFORMS="cpu",
         )
+        env.update(extra_env or {})
         procs.append(
             subprocess.Popen(
                 [sys.executable, "-m", module, str(tmp_path)],
@@ -89,6 +90,44 @@ def test_two_process_ppo_train_step(tmp_path):
     np.testing.assert_array_equal(r0["flat"], r1["flat"])
     assert np.isfinite(r0["loss"]) and r0["loss"] == r1["loss"]
     assert np.all(np.isfinite(r0["flat"]))
+
+
+@pytest.mark.slow
+def test_four_process_ppo_2x2_mesh(tmp_path):
+    """4 processes x 2 virtual devices each = a dp=4 x tp=2 GLOBAL mesh with
+    a non-trivial process-to-mesh mapping (each process is one dp row; the
+    tp pair lives inside a process, so tp collectives stay 'ICI' while dp
+    psums cross the 'DCN' boundary). Params are genuinely tp-sharded
+    (shard_params_tp_global); all four processes must end bit-identical
+    (VERDICT r3 item 6)."""
+    _run_workers(
+        "tests.parallel._ppo_worker", tmp_path, n_procs=4,
+        extra_env={"WORKER_LOCAL_DEVICES": "2", "WORKER_TP": "2"},
+    )
+    results = [np.load(tmp_path / f"ppo_{pid}.npz") for pid in range(4)]
+    for r in results[1:]:
+        np.testing.assert_array_equal(results[0]["flat"], r["flat"])
+        assert results[0]["loss"] == r["loss"]
+    assert np.isfinite(results[0]["loss"])
+    assert np.all(np.isfinite(results[0]["flat"]))
+
+
+@pytest.mark.slow
+def test_four_process_fused_adversarial_2x2(tmp_path):
+    """GAIL train_fused SPMD over 4 processes with the dp=4 x tp=2 global
+    mesh: same bit-identity + fused assertions as the 2-process test."""
+    _run_workers(
+        "tests.parallel._fused_worker", tmp_path, n_procs=4,
+        extra_env={"WORKER_LOCAL_DEVICES": "2", "WORKER_TP": "2"},
+    )
+    results = [np.load(tmp_path / f"fused_{pid}.npz") for pid in range(4)]
+    for r in results[1:]:
+        np.testing.assert_array_equal(results[0]["gen"], r["gen"])
+        np.testing.assert_array_equal(results[0]["disc"], r["disc"])
+    assert int(results[0]["n_updates"]) == 4
+    assert int(results[0]["disc_step"]) == 8
+    assert np.all(np.isfinite(results[0]["gen"]))
+    assert np.all(np.isfinite(results[0]["disc"]))
 
 
 @pytest.mark.slow
