@@ -302,11 +302,25 @@ def record(algo, env_key, seed, final, extra=None):
         try:
             results = {}
             if os.path.exists(OUT_PATH):
-                with open(OUT_PATH) as f:
-                    results = json.load(f)
+                try:
+                    with open(OUT_PATH) as f:
+                        results = json.load(f)
+                except (json.JSONDecodeError, UnicodeDecodeError):
+                    # A writer killed mid-write (pre-atomic-rename layouts)
+                    # left truncated JSON: quarantine it instead of losing
+                    # THIS run's result too.
+                    quarantine = OUT_PATH + f".corrupt.{int(time.time())}"
+                    os.replace(OUT_PATH, quarantine)
+                    print(f"corrupt results file quarantined to {quarantine}")
             results.setdefault(f"{algo}/{env_key}", []).append(entry)
-            with open(OUT_PATH, "w") as f:
+            # Atomic write-then-rename: a SIGTERM/SIGKILL between open and
+            # flush can never leave a half-written results.json behind.
+            tmp = OUT_PATH + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump(results, f, indent=1)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, OUT_PATH)
         finally:
             fcntl.flock(lock_f, fcntl.LOCK_UN)
 

@@ -19,6 +19,10 @@ from typing import Any, Dict, List, Mapping, Optional
 
 def _walk_runs(source_dirs) -> List[Dict[str, Any]]:
     runs = []
+    if isinstance(source_dirs, (str, os.PathLike)):
+        # a bare string would otherwise iterate per CHARACTER, silently
+        # walking from every one-letter relative path that happens to exist
+        source_dirs = [source_dirs]
     for source in source_dirs:
         for root, dirs, files in os.walk(source):
             if "run.json" in files and "config.json" in files:

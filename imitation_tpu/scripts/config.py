@@ -97,8 +97,31 @@ class Experiment:
                 )
             deep_update(config, self.named_configs[n])
         for k, v in (overrides or {}).items():
+            self._check_known_key(config, k)
             set_dotted(config, k, v)
         return config
+
+    @staticmethod
+    def _check_known_key(config: Dict[str, Any], dotted_key: str) -> None:
+        """Rejects overrides of keys that exist nowhere in the config —
+        Sacred's behavior for typo'd ``with a.b=c`` updates. Dicts whose
+        name ends in ``kwargs`` (and empty dicts) are open: they accept
+        arbitrary new keys, like Sacred config dicts populated by the
+        callee."""
+        parts = dotted_key.split(".")
+        node = config
+        for i, p in enumerate(parts):
+            if not isinstance(node, dict):
+                return  # descending into a non-dict errors later in set_dotted
+            if p not in node:
+                parent_name = parts[i - 1] if i else ""
+                if parent_name.endswith("kwargs") or (node == {} and i):
+                    return  # open dict: new keys allowed
+                raise KeyError(
+                    f"unknown config key {dotted_key!r} (no {p!r} at this "
+                    f"level); available: {sorted(node)}"
+                )
+            node = node[p]
 
     def parse_cli(self, argv: Sequence[str]):
         """Parses ``[command] [with] [named|k=v ...]`` (Sacred grammar)."""
@@ -184,6 +207,31 @@ class Experiment:
         fn = self.commands[command] if command else self.main_fn
         if fn is None:
             raise ValueError(f"no command given and no main registered for {self.name}")
-        result = fn(config, run_dir, logger)
+        try:
+            result = fn(config, run_dir, logger)
+        except BaseException as e:
+            # Sacred records FAILED/INTERRUPTED with the error; analyze's
+            # skip_failed_runs keys off this status (reference
+            # scripts/analyze.py:40-41,73-77).
+            self._mark_failed(run_dir, e)
+            raise
         self.finish_run(run_dir, result)
         return result
+
+    def _mark_failed(self, run_dir: str, error: BaseException) -> None:
+        run_path = os.path.join(run_dir, "run.json")
+        try:
+            with open(run_path) as f:
+                run = json.load(f)
+        except Exception:
+            run = {"experiment": {"name": self.name}}
+        run["status"] = (
+            "INTERRUPTED" if isinstance(error, KeyboardInterrupt) else "FAILED"
+        )
+        run["stop_time"] = datetime.datetime.now().isoformat()
+        run["error"] = f"{type(error).__name__}: {error}"
+        try:
+            with open(run_path, "w") as f:
+                json.dump(run, f, indent=2, default=str)
+        except Exception:
+            pass

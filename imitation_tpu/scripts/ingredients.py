@@ -7,6 +7,7 @@ sourcing (demonstrations.py), policy evaluation (policy_evaluation.py).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Sequence
 
 from imitation_tpu.data import rollout as rollout_mod
@@ -70,6 +71,14 @@ def get_expert_trajectories(
     n_expert_demos = demo_cfg.get("n_expert_demos")
     if source == "local":
         path = demo_cfg["path"]
+        if path is None:
+            raise ValueError(
+                "demonstrations.source='local' requires demonstrations.path"
+            )
+        if not os.path.exists(str(path)):
+            raise FileNotFoundError(
+                f"demonstrations.path {path!r} does not exist"
+            )
         trajs = serialize.load(path)
     elif source == "generated":
         apply_fn, params = load_expert_policy(config, venv)
