@@ -381,7 +381,7 @@ class SACAgentTrainer(TrajectoryGenerator):
             return batch.replace(rews=rews)
 
         algorithm.relabel_fn = relabel_fn
-        algorithm._train_step_jit = jax.jit(algorithm.train_step)
+        algorithm.rebind()  # keeps the host-env dispatch intact
         self.state = algorithm.init_state()
         self.reward_variables: Any = None
         self._explorer = ExplorationWrapper(algorithm.sample_fn(), venv)

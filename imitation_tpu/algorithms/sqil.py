@@ -94,7 +94,7 @@ class SQIL(base.DemonstrationAlgorithm):
         # the traced TD-update program as a constant — re-jit so replacing
         # demonstrations after construction actually takes effect.
         if getattr(self, "rl", None) is not None:
-            self.rl._train_step_jit = jax.jit(self.rl.train_step)
+            self.rl.rebind()  # keeps the host-env dispatch intact
 
     @property
     def policy(self):

@@ -110,7 +110,20 @@ class DQN:
         self._eps_decay_steps = max(
             1, int(config.exploration_fraction * total_timesteps_hint)
         )
-        self._train_step_jit = jax.jit(self.train_step)
+        # Host (gym-bridge) envs take the PPO/SAC-style split: epsilon-greedy
+        # stepping through a HostCollector, then the identical jitted
+        # store+TD-update program per round.
+        self.is_host_env = bool(getattr(venv, "is_host", False))
+        self._host_collector = None
+        self.rebind()
+
+    def rebind(self) -> None:
+        """Re-jit after hooks (sample_hook) change."""
+        if self.is_host_env:
+            self._process_jit = jax.jit(self._process)
+            self._train_step_jit = self.train_step_host
+        else:
+            self._train_step_jit = jax.jit(self.train_step)
 
     def _example_transitions(self) -> TransitionBatch:
         obs = jnp.zeros((1,) + self.venv.observation_space.shape, jnp.float32)
@@ -127,11 +140,33 @@ class DQN:
         k_init, k_env, key = jax.random.split(key, 3)
         dummy = jnp.zeros((1,) + self.venv.observation_space.shape, jnp.float32)
         variables = self.q_net.init(k_init, dummy)
+        if self.is_host_env:
+            from imitation_tpu.data import rollout as rollout_mod
+
+            env_state = None
+            B = self.venv.num_envs
+            n_actions = self.venv.action_space.n
+
+            def eps_greedy(params_and_eps, obs, key):
+                vs, eps = params_and_eps
+                k_eps, k_unif = jax.random.split(key)
+                q = self.q_net.apply(vs, obs)
+                greedy = jnp.argmax(q, axis=-1).astype(jnp.int32)
+                random_acts = jax.random.randint(k_unif, (B,), 0, n_actions)
+                use_random = jax.random.uniform(k_eps, (B,)) < eps
+                return jnp.where(use_random, random_acts, greedy), {}
+
+            self._host_collector = rollout_mod.HostCollector(
+                self.venv, eps_greedy,
+                (variables, jnp.asarray(1.0)), seed=self._seed,
+            )
+        else:
+            env_state = self.venv.reset(k_env)
         return DQNState(
             variables=variables,
             target_params=variables["params"],
             opt_state=self.optimizer.init(variables["params"]),
-            env_state=self.venv.reset(k_env),
+            env_state=env_state,
             buffer_state=self.replay.init_state(self._example_transitions()),
             key=key,
             timesteps=jnp.zeros((), jnp.int32),
@@ -190,8 +225,49 @@ class DQN:
         env_state, (trs, infos) = jax.lax.scan(step_fn, state.env_state, keys)
         flat = lambda x: x.reshape((cfg.train_freq * B,) + x.shape[2:])
         transitions = jax.tree.map(flat, trs)
+        return self._process(
+            state, env_state, transitions, infos["done"], infos["ep_return"],
+            key,
+        )
+
+    def train_step_host(self, state: DQNState):
+        """Host-env path: ``train_freq`` epsilon-greedy steps through the
+        host collector, then the identical jitted store+TD-update program."""
+        assert self._host_collector is not None, "call init_state() first"
+        eps = self.epsilon(state.timesteps)
+        self._host_collector.params = (state.variables, jnp.asarray(eps))
+        chunk = self._host_collector.collect(self.config.train_freq)
+        key, k_proc = jax.random.split(state.key)
+        state = state.replace(key=key)
+        T, B = chunk.acts.shape[0], chunk.acts.shape[1]
+        flat = lambda x: x.reshape((T * B,) + x.shape[2:])
+        transitions = TransitionBatch(
+            obs=jax.tree.map(flat, chunk.obs),
+            acts=flat(chunk.acts).astype(jnp.int32),
+            next_obs=jax.tree.map(flat, chunk.next_obs),
+            # TD bootstrap cut on true termination only (not time limits)
+            dones=flat(chunk.terminated.astype(jnp.float32)),
+            rews=flat(chunk.rews),
+        )
+        done = jnp.asarray(chunk.terminated | chunk.truncated)
+        return self._process_jit(
+            state, None, transitions, done, jnp.asarray(chunk.episode_return),
+            k_proc,
+        )
+
+    def _process(
+        self,
+        state: DQNState,
+        env_state,
+        transitions: TransitionBatch,
+        done,
+        ep_return,
+        key: jax.Array,
+    ):
+        cfg = self.config
+        eps = self.epsilon(state.timesteps)
         buffer_state = self.replay.store(state.buffer_state, transitions)
-        new_timesteps = state.timesteps + cfg.train_freq * B
+        new_timesteps = state.timesteps + transitions.rews.shape[0]
 
         # 2. Gradient steps (skipped before learning_starts via masking).
         can_learn = buffer_state.size >= jnp.minimum(
@@ -260,7 +336,7 @@ class DQN:
             params,
         )
 
-        done_f = infos["done"].astype(jnp.float32)
+        done_f = done.astype(jnp.float32)
         n_done = done_f.sum()
         metrics = {
             "loss": aux["loss"].mean(),
@@ -269,7 +345,7 @@ class DQN:
             "buffer_size": buffer_state.size,
             "ep_return_mean": jnp.where(
                 n_done > 0,
-                (infos["ep_return"] * done_f).sum() / jnp.maximum(n_done, 1),
+                (ep_return * done_f).sum() / jnp.maximum(n_done, 1),
                 jnp.nan,
             ),
             "n_episodes": n_done,

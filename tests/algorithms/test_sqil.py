@@ -130,3 +130,37 @@ def test_sqil_invalid_algo_raises(cartpole_demos):
     with pytest.raises(ValueError, match="rl_algo"):
         SQIL(venv=venv, demonstrations=cartpole_demos, rl_algo="ppo",
              allow_variable_horizon=True)
+
+
+def test_sqil_host_env():
+    """SQIL (DQN variant) trains on a host gym-bridge env — the reference
+    runs SQIL on arbitrary gym discrete envs via SB3 (sqil.py:26-102)."""
+    import numpy as np
+
+    from imitation_tpu.algorithms.sqil import SQIL
+    from imitation_tpu.envs.gym_bridge import GymHostEnv, HostVectorEnv
+    from imitation_tpu.rl.dqn import DQNConfig
+    from imitation_tpu.testing import experts
+
+    env = GymHostEnv("CartPole-v1")
+    venv = HostVectorEnv(env, num_envs=2, max_episode_steps=20, num_threads=1)
+    demos = experts.generate_expert_trajectories(
+        "CartPole-v1", venv, min_episodes=2, seed=0
+    )
+    sqil = SQIL(
+        venv=venv,
+        demonstrations=demos,
+        dqn_config=DQNConfig(train_freq=4, gradient_steps=1,
+                             learning_starts=16, buffer_size=512,
+                             batch_size=16, hid_sizes=(16,)),
+        seed=0,
+    )
+    sqil.train(total_timesteps=64)
+    from imitation_tpu.data import rollout as rmod
+
+    trajs = rmod.generate_trajectories(
+        sqil.rl.greedy_fn(), sqil.state.variables, venv,
+        rmod.make_min_episodes(2), rng=1,
+    )
+    assert all(np.isfinite(np.asarray(t.rews)).all() for t in trajs)
+    venv.close()

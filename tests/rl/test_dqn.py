@@ -81,3 +81,36 @@ def test_dqn_improves_cartpole():
     state = dqn.learn(state, 200_000)
     after = ret(state.variables, 2)
     assert after > before + 80, f"{before} -> {after}"
+
+
+def test_dqn_host_env_path():
+    """DQN on a HOST (gym-bridge) env: epsilon-greedy stepping through the
+    host collector, identical jitted store+TD-update program per round
+    (formerly crashed obscurely at init)."""
+    import numpy as np
+
+    from imitation_tpu.data import rollout as rmod
+    from imitation_tpu.envs.gym_bridge import GymHostEnv, HostVectorEnv
+    from imitation_tpu.rl.dqn import DQN, DQNConfig
+
+    env = GymHostEnv("CartPole-v1")
+    venv = HostVectorEnv(env, num_envs=2, max_episode_steps=20, num_threads=1)
+    dqn = DQN(
+        venv,
+        DQNConfig(train_freq=4, gradient_steps=2, learning_starts=16,
+                  buffer_size=1000, batch_size=16, hid_sizes=(16,)),
+        seed=0,
+    )
+    state = dqn.init_state()
+    assert state.env_state is None
+    state, metrics = dqn._train_step_jit(state)
+    assert int(state.timesteps) == 4 * 2
+    assert int(state.n_updates) == 2
+    state = dqn.learn(state, 64)
+    assert int(state.timesteps) >= 64
+    assert np.isfinite(float(metrics["loss"]))
+    trajs = rmod.generate_trajectories(
+        dqn.greedy_fn(), state.variables, venv, rmod.make_min_episodes(2), rng=1
+    )
+    assert all(np.isfinite(np.asarray(t.rews)).all() for t in trajs)
+    venv.close()
