@@ -185,8 +185,9 @@ def main():
     else:
         def one_round():
             trainer.train_gen(sync=False)
-            for _ in range(trainer.n_disc_updates_per_round):
-                trainer.train_disc(sync=False)
+            # all disc updates in one scanned dispatch (common.py
+            # train_disc_rounds) — same per-update sampling semantics
+            trainer.train_disc_rounds(sync=False)
 
         # Warmup / compile.
         one_round()
