@@ -6,7 +6,7 @@
 set -u
 cd /root/repo
 START=$(date +%s)
-HARD_END=${QUEUE_HARD_END:-1787335200}   # 22:00 UTC
+HARD_END=${QUEUE_HARD_END:-1787349600}   # 22:00 UTC
 LOG_DIR=output/r5
 mkdir -p "$LOG_DIR"
 guard() {

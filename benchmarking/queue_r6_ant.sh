@@ -4,7 +4,7 @@
 # partial at the timeout still records a usable plateau-level result.
 set -u
 cd /root/repo
-HARD_END=${QUEUE_HARD_END:-1787335200}
+HARD_END=${QUEUE_HARD_END:-1787349600}
 LOG_DIR=output/r5
 note() { echo "[q6ant] $(date +%H:%M:%S) $1" | tee -a "$LOG_DIR/queue_ant.log"; }
 run_ant() {
