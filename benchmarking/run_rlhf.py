@@ -51,6 +51,10 @@ PRESETS = {
     "seals_half_cheetah": dict(
         env_name="seals/HalfCheetah-v1", num_envs=16, timesteps=1_000_000,
         comparisons=1000, iterations=25, fragment_length=50,
+        # Output normalization (the CLI / reference default): keeps the
+        # relabeled reward scale stationary for PPO as the reward model
+        # retrains — without it the 2M-step run oscillated (+684 -> -398).
+        normalize_output=True,
         hid_sizes=(64, 64), normalize_features=True,
         ppo=dict(n_steps=32, n_minibatches=8, n_epochs=5,
                  learning_rate=3.286871805949382e-4,
@@ -139,6 +143,16 @@ def main() -> None:
             action_space=venv.action_space,
             normalize_input=True,
         )
+        if preset.get("normalize_output"):
+            from imitation_tpu.models.networks import RunningNorm
+            from imitation_tpu.rewards.reward_nets import NormalizedRewardNet
+
+            reward_net = NormalizedRewardNet(
+                observation_space=venv.observation_space,
+                action_space=venv.action_space,
+                base=reward_net,
+                normalize_cls=RunningNorm,
+            )
         agent_trainer = pc.AgentTrainer(
             ppo, reward_net, venv, rng=args.seed, exploration_frac=0.05
         )
