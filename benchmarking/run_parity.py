@@ -165,10 +165,38 @@ def run_dagger(env_key: str, seed: int, total_override=None):
             beta_schedule=schedule,
             bc_trainer=bc,
         )
+        # Live history so a SIGTERM'd long run (Ant takes ~5h on the CPU
+        # backend) records a partial result instead of losing everything.
+        # Throttled to one 5-episode eval per minute so cheap envs with
+        # many short rounds don't double their wall time.
+        history = []
+        globals()["_LIVE_HISTORY"] = history
+        t0 = time.time()
+        last_eval = [0.0]
+
+        def _on_round_end(round_num, steps_so_far):
+            now = time.time()
+            if now - last_eval[0] < 60.0:
+                return
+            last_eval[0] = now
+            ret = eval50(
+                trainer.policy.sample_fn(), trainer.policy_variables, venv,
+                n=5, seed=seed + 7,
+            )
+            history.append({
+                "round": round_num,
+                "timesteps": steps_so_far,
+                "return5": ret,
+                "wall_s": now - t0,
+            })
+            print(f"[dagger/{env_key}] round {round_num} "
+                  f"({steps_so_far} steps) return5={ret:.1f}", flush=True)
+
         trainer.train(
             total,
             rollout_round_min_episodes=min_eps,
             bc_train_kwargs=dict(n_epochs=bc_epochs),
+            on_round_end=_on_round_end,
         )
         return eval50(
             trainer.policy.sample_fn(), trainer.policy_variables, venv,
@@ -351,7 +379,20 @@ def main():
         try:
             final = RUNNERS[args.algo](args.env_key, args.seed, args.total_timesteps)
         except _Term:
-            print("SIGTERM before completion; nothing recorded")
+            # Same partial-record path as the adversarial runners: the
+            # dagger runner maintains _LIVE_HISTORY; bc has none (it is
+            # fast enough that losing a run is fine).
+            hist = globals().get("_LIVE_HISTORY") or []
+            if not hist:
+                print("SIGTERM before completion; nothing recorded")
+                raise SystemExit(143)
+            final = hist[-1].get("return5", float("nan"))
+            extra = {"history": hist, "partial": True,
+                     "wall_s": time.time() - t0}
+            if os.environ.get("PARITY_EXPERTS_DIR"):
+                extra["experts_dir"] = os.environ["PARITY_EXPERTS_DIR"]
+            record(args.algo, args.env_key, args.seed, final, extra)
+            print(f"partial result recorded after SIGTERM: {final:.1f}")
             raise SystemExit(143)
         extra = {}
     else:

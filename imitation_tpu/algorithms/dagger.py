@@ -375,8 +375,15 @@ class SimpleDAggerTrainer(DAggerTrainer):
         rollout_round_min_episodes: int = 3,
         rollout_round_min_timesteps: int = 500,
         bc_train_kwargs: Optional[dict] = None,
+        on_round_end: Optional[Callable[[int, int], None]] = None,
     ) -> None:
-        """Alternates collection and BC (reference dagger.py:615-694)."""
+        """Alternates collection and BC (reference dagger.py:615-694).
+
+        ``on_round_end(round_num, total_timestep_count)``, if given, runs
+        after each round's BC update — used by benchmark drivers to record
+        intermediate evaluations so an interrupted run still yields a
+        learning curve.
+        """
         total_timestep_count = 0
         round_num = 0
         while total_timestep_count < total_timesteps:
@@ -406,3 +413,5 @@ class SimpleDAggerTrainer(DAggerTrainer):
             self._logger.record("dagger/round_timestep_count", round_timestep_count)
             self.extend_and_update(bc_train_kwargs)
             round_num += 1
+            if on_round_end is not None:
+                on_round_end(round_num, total_timestep_count)
