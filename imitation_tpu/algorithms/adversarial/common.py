@@ -486,6 +486,10 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
             )
         else:
             self.gen_state = self.gen_state.replace(variables=variables)
+        # An in-flight background collection (PPOConfig.overlap_collection)
+        # was gathered under the replaced policy — drop it.
+        if hasattr(self.gen_algo, "discard_pending_collection"):
+            self.gen_algo.discard_pending_collection()
 
     # -- generator step ----------------------------------------------------
     def train_gen(

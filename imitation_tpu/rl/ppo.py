@@ -54,6 +54,16 @@ class PPOConfig:
     # further updates are applied this iteration (the loop stays static
     # under jit; late minibatches become masked no-ops).
     target_kl: Optional[float] = None
+    # Host (gym-bridge/MuJoCo) envs only: pipeline host env stepping with
+    # the device update — the chunk for iteration k+1 is collected in a
+    # background thread while the chip runs the PPO (and, in adversarial
+    # trainers, discriminator) updates for iteration k. The next chunk is
+    # collected with the pre-update policy (one-update staleness, the
+    # standard async actor-learner trade); PPO's importance ratios use the
+    # behaviour log-probs stored in the chunk, so the update math remains
+    # well-defined for slightly-off-policy data. Default off: the
+    # serialized path keeps SB3's exact on-policy semantics.
+    overlap_collection: bool = False
 
 
 class PPO:
@@ -102,6 +112,8 @@ class PPO:
             )
         self.is_host_env = bool(getattr(venv, "is_host", False))
         self._host_collector = None
+        self._pending_chunk = None
+        self._collect_pool = None
         self.rebind()
 
     def rebind(self) -> None:
@@ -113,7 +125,11 @@ class PPO:
             # the collect — relabel, GAE, all PPO updates — in one jitted
             # program over the chunk.
             self._process_chunk_jit = jax.jit(self.process_chunk)
-            self._train_step_jit = self.train_step_host
+            self._train_step_jit = (
+                self.train_step_host_overlapped
+                if self.config.overlap_collection
+                else self.train_step_host
+            )
         else:
             self._train_step_jit = jax.jit(self.train_step)
 
@@ -173,6 +189,54 @@ class PPO:
         key, k_proc = jax.random.split(state.key)
         state = state.replace(key=key)
         return self._process_chunk_jit(state, None, chunk, k_proc, reward_params)
+
+    def train_step_host_overlapped(
+        self, state: common.RLState, reward_params: Any = None
+    ):
+        """Pipelined host-env path (``PPOConfig.overlap_collection``).
+
+        Joins the chunk collected in the background during the previous
+        iteration's device update, immediately kicks off collection of the
+        NEXT chunk with the current (pre-update) policy, then dispatches
+        this iteration's jitted update. Host MuJoCo stepping and the chip's
+        PPO/discriminator work stack instead of serializing — on the
+        2-vCPU/1-chip bench host this is where the GAIL HalfCheetah
+        end-to-end throughput ceiling moves (VERDICT r3 item 4).
+        """
+        assert self._host_collector is not None, "call init_state() first"
+        if self._collect_pool is None:
+            import concurrent.futures
+
+            self._collect_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="ppo-host-collect"
+            )
+        if self._pending_chunk is None:
+            self._host_collector.params = state.variables
+            chunk = self._host_collector.collect(self.config.n_steps)
+        else:
+            chunk = self._pending_chunk.result()
+        # Refresh the collector's host-side param cache synchronously BEFORE
+        # dispatching the device update: the update may invalidate (donate)
+        # the old device buffers, and a device_get racing that invalidation
+        # from the collect thread would be undefined.
+        self._host_collector.params = state.variables
+        self._host_collector._params_for_apply()
+        self._pending_chunk = self._collect_pool.submit(
+            self._host_collector.collect, self.config.n_steps
+        )
+        key, k_proc = jax.random.split(state.key)
+        state = state.replace(key=key)
+        return self._process_chunk_jit(state, None, chunk, k_proc, reward_params)
+
+    def discard_pending_collection(self) -> None:
+        """Joins and drops any in-flight background collection (call after
+        externally swapping policy params, e.g. a warm start, so the next
+        chunk is not one collected under the replaced policy)."""
+        if self._pending_chunk is not None:
+            try:
+                self._pending_chunk.result()
+            finally:
+                self._pending_chunk = None
 
     def process_chunk(
         self,

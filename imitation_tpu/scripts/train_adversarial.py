@@ -45,6 +45,9 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         "clip_range": 0.2,
         "vf_coef": 0.5,
         "max_grad_norm": 0.5,
+        # Host envs only: overlap host stepping with device updates
+        # (one-update-stale chunks; PPOConfig.overlap_collection).
+        "overlap_collection": False,
     },
     # FeedForward32Policy + NormalizeFeaturesExtractor is the reference's
     # tuned benchmark policy (config/tuned_hps/*: policy_kwargs).
@@ -106,6 +109,9 @@ def _train(algo_cls, config: Dict[str, Any], run_dir: str, logger) -> Dict[str, 
         clip_range=rl_cfg.get("clip_range", 0.2),
         vf_coef=rl_cfg.get("vf_coef", 0.5),
         max_grad_norm=rl_cfg.get("max_grad_norm", 0.5),
+        # Host (MuJoCo/gym-bridge) envs: pipeline host stepping with the
+        # chip's PPO/disc updates (one-update-stale chunks; see PPOConfig).
+        overlap_collection=rl_cfg.get("overlap_collection", False),
     )
     pol_cfg = config.get("policy", {})
     policy = ActorCriticPolicy(
