@@ -86,6 +86,12 @@ class SACConfig:
     target_entropy: Optional[float] = None  # default -act_dim
     actor_hid_sizes: Tuple[int, ...] = (256, 256)
     critic_hid_sizes: Tuple[int, ...] = (256, 256)
+    # Host (MuJoCo/gym-bridge) envs only: collect the next train_freq steps
+    # in a background thread while the chip runs this round's gradient
+    # updates (one-round-stale behaviour policy — SAC is off-policy, so the
+    # replay math is unchanged; only the sampling distribution lags one
+    # update). See PPOConfig.overlap_collection for the same trade.
+    overlap_collection: bool = False
 
 
 @struct.dataclass
@@ -185,6 +191,8 @@ class SAC:
         # Adversarial train_fused reads is_host_env for its own guard.
         self.is_host_env = bool(getattr(venv, "is_host", False))
         self._host_collector = None
+        self._pending_chunk = None
+        self._collect_pool = None
         self.venv = venv
         self.config = config
         self.act_dim = venv.action_space.flat_dim
@@ -319,6 +327,44 @@ class SAC:
         assert self._host_collector is not None, "call init_state() first"
         self._host_collector.params = {"params": state.actor_params}
         chunk = self._host_collector.collect(self.config.train_freq)
+        return self._host_process(state, chunk, reward_params)
+
+    def train_step_host_overlapped(self, state: SACState, reward_params: Any = None):
+        """Pipelined host-env path (``SACConfig.overlap_collection``): join
+        the chunk collected during the previous round's device update, kick
+        off the next collection with the current (pre-update) actor, then
+        dispatch this round's jitted store+update program."""
+        assert self._host_collector is not None, "call init_state() first"
+        if self._collect_pool is None:
+            import concurrent.futures
+
+            self._collect_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="sac-host-collect"
+            )
+        if self._pending_chunk is None:
+            self._host_collector.params = {"params": state.actor_params}
+            chunk = self._host_collector.collect(self.config.train_freq)
+        else:
+            chunk = self._pending_chunk.result()
+        # Refresh the host param cache synchronously before dispatching the
+        # update (the update may donate/invalidate the old device buffers).
+        self._host_collector.params = {"params": state.actor_params}
+        self._host_collector._params_for_apply()
+        self._pending_chunk = self._collect_pool.submit(
+            self._host_collector.collect, self.config.train_freq
+        )
+        return self._host_process(state, chunk, reward_params)
+
+    def discard_pending_collection(self) -> None:
+        """Joins and drops any in-flight background collection (call after
+        externally swapping actor params, e.g. a warm start)."""
+        if self._pending_chunk is not None:
+            try:
+                self._pending_chunk.result()
+            finally:
+                self._pending_chunk = None
+
+    def _host_process(self, state: SACState, chunk, reward_params: Any = None):
         key, k_proc = jax.random.split(state.key)
         state = state.replace(key=key)
         T, B = chunk.acts.shape[0], chunk.acts.shape[1]
@@ -492,7 +538,11 @@ class SAC:
         """Re-jit after hooks (relabel_fn/return_transitions) change."""
         if self.is_host_env:
             self._process_jit = jax.jit(self._process)
-            self._train_step_jit = self.train_step_host
+            self._train_step_jit = (
+                self.train_step_host_overlapped
+                if self.config.overlap_collection
+                else self.train_step_host
+            )
         else:
             self._train_step_jit = jax.jit(self.train_step)
 

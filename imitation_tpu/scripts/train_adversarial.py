@@ -94,6 +94,7 @@ def _train(algo_cls, config: Dict[str, Any], run_dir: str, logger) -> Dict[str, 
                 train_freq=rl_cfg.get("train_freq", rl_cfg["n_steps"]),
                 batch_size=rl_cfg["batch_size"],
                 learning_starts=rl_cfg.get("learning_starts", 100),
+                overlap_collection=rl_cfg.get("overlap_collection", False),
             ),
             seed=config["seed"],
         )

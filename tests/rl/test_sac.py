@@ -116,3 +116,34 @@ def test_sac_host_env_path():
     )
     assert all(np.isfinite(np.asarray(t.rews)).all() for t in trajs)
     venv.close()
+
+
+def test_sac_host_env_overlapped():
+    """SACConfig.overlap_collection pipelines host stepping with the
+    device update: each round joins the background-collected chunk, kicks
+    off the next collection under the pre-update actor, and still advances
+    timesteps/updates by the configured amounts."""
+    from imitation_tpu.envs.gym_bridge import GymHostEnv, HostVectorEnv
+    from imitation_tpu.rl.sac import SAC, SACConfig
+
+    env = GymHostEnv("Pendulum-v1")
+    venv = HostVectorEnv(env, num_envs=2, max_episode_steps=20, num_threads=1)
+    sac = SAC(
+        venv,
+        SACConfig(train_freq=4, gradient_steps=2, learning_starts=8,
+                  buffer_size=1000, batch_size=16,
+                  actor_hid_sizes=(16,), critic_hid_sizes=(16,),
+                  overlap_collection=True),
+        seed=0,
+    )
+    state = sac.init_state()
+    metrics = None
+    for _ in range(5):
+        state, metrics = sac._train_step_jit(state, None)
+    assert sac._pending_chunk is not None
+    sac.discard_pending_collection()
+    assert sac._pending_chunk is None
+    assert int(state.timesteps) == 5 * 4 * 2
+    assert int(state.n_updates) == 5 * 2
+    for k in ["critic_loss", "actor_loss", "alpha", "entropy"]:
+        assert np.isfinite(float(metrics[k])), k
