@@ -215,6 +215,14 @@ def main():
 
     steps = n_rounds * n_steps * num_envs
     steps_per_s = steps / elapsed
+    # MuJoCo end-to-end line FIRST, headline line LAST: the driver records
+    # the final JSON line as the round's headline metric.
+    try:
+        mujoco_line()
+    except Exception as e:  # never let the extra line break the headline
+        import sys
+
+        print(f"mujoco_line skipped: {e!r}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -222,7 +230,8 @@ def main():
                     "GAIL env-steps/s/chip (rollout+relabel+PPO+disc, "
                     "device CartPole, 1024 envs; device-env proxy for the "
                     "BASELINE GAIL-HalfCheetah config — MJX not installable, "
-                    "MuJoCo stepping is host-bound; see 2nd line)"
+                    "MuJoCo stepping is host-bound; see the end-to-end "
+                    "MuJoCo line above)"
                 ),
                 "value": round(steps_per_s, 1),
                 "unit": "env-steps/s",
@@ -230,12 +239,6 @@ def main():
             }
         )
     )
-    try:
-        mujoco_line()
-    except Exception as e:  # never let the 2nd line break the headline
-        import sys
-
-        print(f"mujoco_line skipped: {e!r}", file=sys.stderr)
 
 
 if __name__ == "__main__":
