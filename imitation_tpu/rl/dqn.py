@@ -63,6 +63,11 @@ class DQNConfig:
     exploration_final_eps: float = 0.05
     max_grad_norm: float = 10.0
     hid_sizes: Tuple[int, ...] = (64, 64)
+    # Host (gym-bridge) envs only: collect the next train_freq steps in a
+    # background thread while the chip runs this round's TD updates
+    # (one-round-stale behaviour policy; off-policy, so the replay math is
+    # unchanged). See PPOConfig.overlap_collection for the same trade.
+    overlap_collection: bool = False
 
 
 @struct.dataclass
@@ -115,13 +120,19 @@ class DQN:
         # store+TD-update program per round.
         self.is_host_env = bool(getattr(venv, "is_host", False))
         self._host_collector = None
+        self._pending_chunk = None
+        self._collect_pool = None
         self.rebind()
 
     def rebind(self) -> None:
         """Re-jit after hooks (sample_hook) change."""
         if self.is_host_env:
             self._process_jit = jax.jit(self._process)
-            self._train_step_jit = self.train_step_host
+            self._train_step_jit = (
+                self.train_step_host_overlapped
+                if self.config.overlap_collection
+                else self.train_step_host
+            )
         else:
             self._train_step_jit = jax.jit(self.train_step)
 
@@ -237,6 +248,45 @@ class DQN:
         eps = self.epsilon(state.timesteps)
         self._host_collector.params = (state.variables, jnp.asarray(eps))
         chunk = self._host_collector.collect(self.config.train_freq)
+        return self._host_process(state, chunk)
+
+    def train_step_host_overlapped(self, state: "DQNState"):
+        """Pipelined host-env path (``DQNConfig.overlap_collection``): join
+        the chunk collected during the previous round's device update, kick
+        off the next collection with the current (pre-update) Q-net and
+        epsilon, then dispatch this round's jitted store+TD-update program."""
+        assert self._host_collector is not None, "call init_state() first"
+        if self._collect_pool is None:
+            import concurrent.futures
+
+            self._collect_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="dqn-host-collect"
+            )
+        if self._pending_chunk is None:
+            eps = self.epsilon(state.timesteps)
+            self._host_collector.params = (state.variables, jnp.asarray(eps))
+            chunk = self._host_collector.collect(self.config.train_freq)
+        else:
+            chunk = self._pending_chunk.result()
+        eps = self.epsilon(state.timesteps)
+        self._host_collector.params = (state.variables, jnp.asarray(eps))
+        # Refresh the host param cache synchronously before dispatching the
+        # update (the update may donate/invalidate the old device buffers).
+        self._host_collector._params_for_apply()
+        self._pending_chunk = self._collect_pool.submit(
+            self._host_collector.collect, self.config.train_freq
+        )
+        return self._host_process(state, chunk)
+
+    def discard_pending_collection(self) -> None:
+        """Joins and drops any in-flight background collection."""
+        if self._pending_chunk is not None:
+            try:
+                self._pending_chunk.result()
+            finally:
+                self._pending_chunk = None
+
+    def _host_process(self, state: "DQNState", chunk):
         key, k_proc = jax.random.split(state.key)
         state = state.replace(key=key)
         T, B = chunk.acts.shape[0], chunk.acts.shape[1]

@@ -114,3 +114,34 @@ def test_dqn_host_env_path():
     )
     assert all(np.isfinite(np.asarray(t.rews)).all() for t in trajs)
     venv.close()
+
+
+def test_dqn_host_env_overlapped():
+    """DQNConfig.overlap_collection pipelines host stepping with the TD
+    update; rounds still advance timesteps/updates by the configured
+    amounts and an in-flight background collection exists between rounds."""
+    import numpy as np
+
+    from imitation_tpu.envs.gym_bridge import GymHostEnv, HostVectorEnv
+    from imitation_tpu.rl.dqn import DQN, DQNConfig
+
+    env = GymHostEnv("CartPole-v1")
+    venv = HostVectorEnv(env, num_envs=2, max_episode_steps=20, num_threads=1)
+    dqn = DQN(
+        venv,
+        DQNConfig(train_freq=4, gradient_steps=2, learning_starts=8,
+                  buffer_size=1000, batch_size=16, hid_sizes=(16,),
+                  overlap_collection=True),
+        seed=0,
+    )
+    state = dqn.init_state()
+    metrics = None
+    for _ in range(5):
+        state, metrics = dqn._train_step_jit(state)
+    assert dqn._pending_chunk is not None
+    dqn.discard_pending_collection()
+    assert dqn._pending_chunk is None
+    assert int(state.timesteps) == 5 * 4 * 2
+    assert int(state.n_updates) == 5 * 2
+    assert np.isfinite(float(metrics["loss"]))
+    venv.close()
