@@ -57,15 +57,18 @@ def run_sqil(seed: int = 0) -> None:
             train_freq=4,
             batch_size=64,
             gradient_steps=4,
-            learning_rate=3e-4,
-            target_update_interval=500,
+            # 3e-4/tui=500 diverges on some seeds late in training (seed 2
+            # collapsed to 9.3 at 300k steps); 1e-4 with a slower target
+            # copy is stable at 500.0 across the previously-failing seeds.
+            learning_rate=1e-4,
+            target_update_interval=2000,
             exploration_fraction=0.3,
-            exploration_final_eps=0.02,
+            exploration_final_eps=0.05,
         ),
         allow_variable_horizon=True,
         seed=seed,
     )
-    sqil.train(total_timesteps=100_000)
+    sqil.train(total_timesteps=300_000)
     trajs = rollout.generate_trajectories(
         sqil.policy.sample_fn(), sqil.state.variables, venv,
         rollout.make_min_episodes(50), rng=seed + 1,
