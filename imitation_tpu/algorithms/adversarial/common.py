@@ -670,3 +670,8 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
             if callback:
                 callback(r)
             self.logger.dump(self._global_step)
+        # Join any overlapped background collection before returning: callers
+        # commonly evaluate on the SAME venv next, and a live collect thread
+        # stepping it concurrently would race (host envs are not thread-safe).
+        if hasattr(self.gen_algo, "discard_pending_collection"):
+            self.gen_algo.discard_pending_collection()

@@ -504,4 +504,8 @@ class PPO:
                     logger.dump(step=int(state.timesteps))
                 if callback is not None:
                     callback(state, host_metrics)
+        # Join any overlapped background collection before returning: the
+        # caller commonly evaluates on the same venv next, and a live
+        # collect thread stepping it concurrently would race.
+        self.discard_pending_collection()
         return state

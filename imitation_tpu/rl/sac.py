@@ -581,6 +581,9 @@ class SAC:
                 logger.dump(step=int(state.timesteps))
             if callback is not None:
                 callback(state, metrics)
+        # Join any overlapped background collection before returning (a live
+        # collect thread stepping the venv would race a subsequent eval).
+        self.discard_pending_collection()
         return state
 
     @property
