@@ -194,7 +194,38 @@ def main() -> None:
             with open(out_path, "w") as f:
                 json.dump({"curve": curve}, f, indent=1)
 
-        result = trainer.train(timesteps, comparisons, callback=callback)
+        # timeout(1) kills with SIGTERM; record the latest callback eval as
+        # a partial row (same contract as run_parity) instead of losing the
+        # whole run.
+        import signal
+
+        class _Term(Exception):
+            pass
+
+        signal.signal(
+            signal.SIGTERM, lambda *a: (_ for _ in ()).throw(_Term())
+        )
+        try:
+            result = trainer.train(timesteps, comparisons, callback=callback)
+        except _Term:
+            if not curve:
+                print("SIGTERM before first eval; nothing recorded")
+                raise SystemExit(143)
+            from benchmarking.run_parity import record
+
+            record(
+                res_key_prefix, args.env, args.seed,
+                curve[-1]["true_return10"],
+                {"history": curve, "partial": True,
+                 "wall_s": time.time() - t0,
+                 "timesteps": timesteps,
+                 "comparisons": None if args.true_baseline else comparisons},
+            )
+            print(
+                "partial result recorded after SIGTERM: "
+                f"{curve[-1]['true_return10']:.1f}"
+            )
+            raise SystemExit(143)
         final = true_return(n=50)
 
     wall = time.time() - t0
@@ -209,16 +240,11 @@ def main() -> None:
     }
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
-    res_path = os.path.join("output", "parity", "results.json")
-    results = {}
-    if os.path.exists(res_path):
-        with open(res_path) as f:
-            results = json.load(f)
-    results.setdefault(f"{res_key_prefix}/{args.env}", []).append(
-        {"return": final, "seed": args.seed, "ts": time.time(), "wall_s": wall}
-    )
-    with open(res_path, "w") as f:
-        json.dump(results, f, indent=1)
+    # flock-serialized atomic append (a plain read-modify-write here could
+    # drop rows written concurrently by run_parity lanes).
+    from benchmarking.run_parity import record
+
+    record(res_key_prefix, args.env, args.seed, final, {"wall_s": wall})
     print(f"{res_key_prefix}/{args.env}: final_return50={final:.1f} ({wall:.0f}s)")
 
 
