@@ -78,6 +78,21 @@ DAGGER_HPS = {
 }
 
 
+def _set_provenance(budget=None):
+    """Record run provenance (demo source, backend, budget) once per run;
+    ``record`` folds it into every row, so summarize can emit mechanical
+    budget/expert columns instead of editorial footnotes."""
+    import jax
+
+    prov = {
+        "experts_dir": os.environ.get("PARITY_EXPERTS_DIR", EXPERTS_DIR),
+        "backend": jax.default_backend(),
+    }
+    if budget is not None:
+        prov["total_timesteps"] = int(budget) if not isinstance(budget, str) else budget
+    globals()["_PROVENANCE"] = prov
+
+
 def load_expert(env_key: str, venv):
     experts_dir = os.environ.get("PARITY_EXPERTS_DIR", EXPERTS_DIR)
     policy, variables = policy_serialize.load_policy_from_path(
@@ -98,6 +113,7 @@ def run_bc(env_key: str, seed: int, total_override=None):
     from imitation_tpu.algorithms.bc import BC
 
     batch_size, l2, lr, n_epochs = BC_HPS[env_key]
+    _set_provenance(f"{n_epochs} epochs")
     venv = make_vec_env(ENV_IDS[env_key], num_envs=16)
     _, _, demos = load_expert(env_key, venv)
     # FeedForward32 + NormalizeFeaturesExtractor: every reference tuned
@@ -135,6 +151,7 @@ def run_dagger(env_key: str, seed: int, total_override=None):
     total, (sched_kind, sched_arg), min_eps, bc_epochs = DAGGER_HPS[env_key]
     if total_override:
         total = total_override
+    _set_provenance(total)
     venv = make_vec_env(ENV_IDS[env_key], num_envs=16)
     expert_policy, expert_vars, _ = load_expert(env_key, venv)
     schedule = (
@@ -191,6 +208,14 @@ def run_dagger(env_key: str, seed: int, total_override=None):
             })
             print(f"[dagger/{env_key}] round {round_num} "
                   f"({steps_so_far} steps) return5={ret:.1f}", flush=True)
+            # Kill-proof partial row: a SIGKILL (or a SIGTERM deferred
+            # inside a native XLA call, which lost rlhf hc s2 in round 4)
+            # can land any time; upsert the latest eval so the run never
+            # records nothing. The final record replaces this row.
+            record("dagger", env_key, seed, ret,
+                   {"history": list(history), "partial": True,
+                    "wall_s": now - t0},
+                   replace_partial=True)
 
         trainer.train(
             total,
@@ -212,6 +237,7 @@ def run_adversarial(algo: str, env_key: str, seed: int, total_override=None):
      mgn, epochs, vf) = ADVERSARIAL_HPS[(algo, env_key)]
     if total_override:
         total = total_override
+    _set_provenance(total)
     # More envs amortizes per-step host/dispatch overhead (lockstep MuJoCo
     # engine keeps scaling); n_steps = rl_batch // num_envs stays integral
     # for all tuned rl_batch values (>= 4096).
@@ -305,6 +331,12 @@ def run_adversarial(algo: str, env_key: str, seed: int, total_override=None):
             print(f"[{algo}/{env_key}] round {r+1}/{n_rounds} "
                   f"({history[-1]['timesteps']} steps) return5={ret:.1f} "
                   f"({history[-1]['wall_s']:.0f}s)", flush=True)
+            # Kill-proof partial row (see run_dagger): upsert the latest
+            # eval so SIGKILL / deferred-SIGTERM never loses the run.
+            record(algo, env_key, seed, ret,
+                   {"history": list(history), "partial": True,
+                    "wall_s": history[-1]["wall_s"]},
+                   replace_partial=True)
     final = eval50(
         trainer.policy.sample_fn(), trainer.policy_variables, eval_venv,
         seed=seed + 1,
@@ -315,11 +347,16 @@ def run_adversarial(algo: str, env_key: str, seed: int, total_override=None):
 RUNNERS = {"bc": run_bc, "dagger": run_dagger}
 
 
-def record(algo, env_key, seed, final, extra=None):
+def record(algo, env_key, seed, final, extra=None, replace_partial=False):
+    """Append a result row; with ``replace_partial``, first drop any
+    existing partial row for the same (cell, seed) so in-progress upserts
+    (written every eval from the runners' history callbacks) never stack
+    up and the final complete row supersedes its own partials."""
     os.makedirs(os.path.dirname(OUT_PATH), exist_ok=True)
     entry = {"return": final, "seed": seed, "ts": time.time()}
     if extra:
         entry.update(extra)
+    entry.update(globals().get("_PROVENANCE") or {})
     # Concurrent runners (chip queue + CPU-backend seed runs) append here;
     # serialize the read-modify-write under an flock.
     import fcntl
@@ -340,7 +377,13 @@ def record(algo, env_key, seed, final, extra=None):
                     quarantine = OUT_PATH + f".corrupt.{int(time.time())}"
                     os.replace(OUT_PATH, quarantine)
                     print(f"corrupt results file quarantined to {quarantine}")
-            results.setdefault(f"{algo}/{env_key}", []).append(entry)
+            rows = results.setdefault(f"{algo}/{env_key}", [])
+            if replace_partial:
+                rows[:] = [
+                    r for r in rows
+                    if not (r.get("seed") == seed and r.get("partial"))
+                ]
+            rows.append(entry)
             # Atomic write-then-rename: a SIGTERM/SIGKILL between open and
             # flush can never leave a half-written results.json behind.
             tmp = OUT_PATH + ".tmp"
@@ -389,9 +432,8 @@ def main():
             final = hist[-1].get("return5", float("nan"))
             extra = {"history": hist, "partial": True,
                      "wall_s": time.time() - t0}
-            if os.environ.get("PARITY_EXPERTS_DIR"):
-                extra["experts_dir"] = os.environ["PARITY_EXPERTS_DIR"]
-            record(args.algo, args.env_key, args.seed, final, extra)
+            record(args.algo, args.env_key, args.seed, final, extra,
+                   replace_partial=True)
             print(f"partial result recorded after SIGTERM: {final:.1f}")
             raise SystemExit(143)
         extra = {}
@@ -408,17 +450,15 @@ def main():
             final = hist[-1].get("return5", float("nan"))
             extra = {"history": hist, "partial": True,
                      "wall_s": time.time() - t0}
-            if os.environ.get("PARITY_EXPERTS_DIR"):
-                extra["experts_dir"] = os.environ["PARITY_EXPERTS_DIR"]
-            record(args.algo, args.env_key, args.seed, final, extra)
+            record(args.algo, args.env_key, args.seed, final, extra,
+                   replace_partial=True)
             print(f"partial result recorded after SIGTERM: {final:.1f}")
             raise SystemExit(143)
     extra["wall_s"] = time.time() - t0
     if args.total_timesteps:
         extra["total_timesteps_override"] = args.total_timesteps
-    if os.environ.get("PARITY_EXPERTS_DIR"):
-        extra["experts_dir"] = os.environ["PARITY_EXPERTS_DIR"]
-    record(args.algo, args.env_key, args.seed, final, extra)
+    record(args.algo, args.env_key, args.seed, final, extra,
+           replace_partial=True)
     print(f"{args.algo}/{args.env_key} seed={args.seed}: return={final:.1f} "
           f"({extra['wall_s']:.0f}s)")
 

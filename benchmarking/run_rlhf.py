@@ -113,24 +113,64 @@ def main() -> None:
     out_path = os.path.join(out_dir, f"{res_key_prefix}_{args.env}.json")
     t0 = time.time()
 
+    # Partial-result safety, covering BOTH branches (round-4 advisor: the
+    # handler used to be installed only on the non---true-baseline path).
+    # Two layers: (a) SIGTERM raises _Term -> record partial; (b) because a
+    # SIGTERM delivered while the main thread sits inside a long native XLA
+    # call is deferred until that call returns (which lost rlhf hc s2 in
+    # round 4 — timeout(1) gave up before the handler could run), every
+    # eval ALSO upserts a kill-proof partial row via record(...,
+    # replace_partial=True); the final record supersedes it.
+    import signal
+
+    from benchmarking.run_parity import record
+
+    class _Term(Exception):
+        pass
+
+    signal.signal(signal.SIGTERM, lambda *a: (_ for _ in ()).throw(_Term()))
+
+    curve = []
+
+    def _record_partial():
+        if not curve:
+            print("terminated before first eval; nothing to record")
+            return False
+        last = curve[-1]
+        val = last.get("true_return10", last.get("true_return5", float("nan")))
+        record(
+            res_key_prefix, args.env, args.seed, val,
+            {"history": list(curve), "partial": True,
+             "wall_s": time.time() - t0, "timesteps": timesteps,
+             "comparisons": None if args.true_baseline else comparisons},
+            replace_partial=True,
+        )
+        return True
+
     if args.true_baseline:
         state = ppo.init_state()
-        curve = []
         chunk_steps = max(timesteps // 20, 1)
         done = 0
-        while done < timesteps:
-            state = ppo.learn(state, chunk_steps)
-            done += chunk_steps
-            trajs = rmod.generate_trajectories(
-                policy.sample_fn(), state.variables, venv,
-                rmod.make_min_episodes(5), rng=args.seed + 99,
-            )
-            ret = float(np.mean([t.rews.sum() for t in trajs]))
-            curve.append({"timesteps": done, "true_return5": ret,
-                          "wall_s": time.time() - t0})
-            print(f"[true-ppo/{args.env}] {done} steps: {ret:.1f}", flush=True)
-            with open(out_path, "w") as f:
-                json.dump({"curve": curve}, f, indent=1)
+        try:
+            while done < timesteps:
+                state = ppo.learn(state, chunk_steps)
+                done += chunk_steps
+                trajs = rmod.generate_trajectories(
+                    policy.sample_fn(), state.variables, venv,
+                    rmod.make_min_episodes(5), rng=args.seed + 99,
+                )
+                ret = float(np.mean([t.rews.sum() for t in trajs]))
+                curve.append({"timesteps": done, "true_return5": ret,
+                              "wall_s": time.time() - t0})
+                print(f"[true-ppo/{args.env}] {done} steps: {ret:.1f}",
+                      flush=True)
+                with open(out_path, "w") as f:
+                    json.dump({"curve": curve}, f, indent=1)
+                _record_partial()
+        except _Term:
+            if _record_partial():
+                print("partial result recorded after SIGTERM")
+            raise SystemExit(143)
         final_trajs = rmod.generate_trajectories(
             policy.sample_fn(), state.variables, venv,
             rmod.make_min_episodes(50), rng=args.seed + 1,
@@ -173,8 +213,6 @@ def main() -> None:
             seed=args.seed,
         )
 
-        curve = []
-
         def true_return(n=10):
             trajs = rmod.generate_trajectories(
                 policy.sample_fn(), agent_trainer.state.variables, venv,
@@ -193,38 +231,13 @@ def main() -> None:
                   f"({curve[-1]['wall_s']:.0f}s)", flush=True)
             with open(out_path, "w") as f:
                 json.dump({"curve": curve}, f, indent=1)
+            _record_partial()
 
-        # timeout(1) kills with SIGTERM; record the latest callback eval as
-        # a partial row (same contract as run_parity) instead of losing the
-        # whole run.
-        import signal
-
-        class _Term(Exception):
-            pass
-
-        signal.signal(
-            signal.SIGTERM, lambda *a: (_ for _ in ()).throw(_Term())
-        )
         try:
             result = trainer.train(timesteps, comparisons, callback=callback)
         except _Term:
-            if not curve:
-                print("SIGTERM before first eval; nothing recorded")
-                raise SystemExit(143)
-            from benchmarking.run_parity import record
-
-            record(
-                res_key_prefix, args.env, args.seed,
-                curve[-1]["true_return10"],
-                {"history": curve, "partial": True,
-                 "wall_s": time.time() - t0,
-                 "timesteps": timesteps,
-                 "comparisons": None if args.true_baseline else comparisons},
-            )
-            print(
-                "partial result recorded after SIGTERM: "
-                f"{curve[-1]['true_return10']:.1f}"
-            )
+            if _record_partial():
+                print("partial result recorded after SIGTERM")
             raise SystemExit(143)
         final = true_return(n=50)
 
@@ -241,10 +254,14 @@ def main() -> None:
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     # flock-serialized atomic append (a plain read-modify-write here could
-    # drop rows written concurrently by run_parity lanes).
-    from benchmarking.run_parity import record
-
-    record(res_key_prefix, args.env, args.seed, final, {"wall_s": wall})
+    # drop rows written concurrently by run_parity lanes); supersede any
+    # in-progress partial rows this run upserted along the way.
+    record(
+        res_key_prefix, args.env, args.seed, final,
+        {"wall_s": wall, "timesteps": timesteps,
+         "comparisons": None if args.true_baseline else comparisons},
+        replace_partial=True,
+    )
     print(f"{res_key_prefix}/{args.env}: final_return50={final:.1f} ({wall:.0f}s)")
 
 
