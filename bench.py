@@ -14,11 +14,67 @@ now; ``FALLBACK_ESTIMATE_STEPS_PER_S`` is used only if that fails.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import glob
 import json
 import os
+import signal
 import time
 
 FALLBACK_ESTIMATE_STEPS_PER_S = 4000.0
+COMPILE_CACHE_DIR = "/tmp/imitation_tpu_jax_cache"
+BENCH_SENTINEL = os.path.join("output", "BENCH_RUNNING")
+
+
+def _pause_queue_lanes():
+    """Quiet the host for measurement: SIGSTOP any benchmark-queue process
+    groups (exact pgids read from output/queue_pids/*.pgid — the queue
+    scripts write one file per lane) and drop a sentinel so lanes don't
+    start new items mid-measurement. Round 4's driver-captured headline
+    regressed 37% purely from queue contention on this 2-vCPU host; this
+    makes the bench self-quieting instead of hoping the lanes are idle."""
+    os.makedirs("output", exist_ok=True)
+    with open(BENCH_SENTINEL, "w") as f:
+        f.write(str(os.getpid()))
+    pgids = []
+    for path in glob.glob(os.path.join("output", "queue_pids", "*.pgid")):
+        try:
+            pgid = int(open(path).read().strip())
+        except (ValueError, OSError):
+            continue
+        try:
+            os.killpg(pgid, signal.SIGSTOP)
+            pgids.append(pgid)
+        except (ProcessLookupError, PermissionError):
+            pass
+    if pgids:
+        time.sleep(2.0)  # let in-flight scheduler quanta drain
+    return pgids
+
+
+def _resume_queue_lanes(pgids):
+    for pgid in pgids:
+        try:
+            os.killpg(pgid, signal.SIGCONT)
+        except (ProcessLookupError, PermissionError):
+            pass
+    try:
+        os.remove(BENCH_SENTINEL)
+    except OSError:
+        pass
+
+
+def _provenance(cache_was_warm, paused_lanes):
+    """Self-describing measurement conditions (VERDICT r4 weak #1): a
+    contended or cold-compile number should be identifiable from the JSON
+    alone, not from forensic log reading."""
+    la1, la5, _ = os.getloadavg()
+    return {
+        "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "host_load_avg_1m": round(la1, 2),
+        "host_load_avg_5m": round(la5, 2),
+        "compile_cache": "warm" if cache_was_warm else "cold",
+        "queue_lanes_paused": paused_lanes,
+    }
 
 
 def baseline_steps_per_s() -> float:
@@ -47,7 +103,7 @@ def baseline_mujoco_steps_per_s() -> float:
         return float("nan")
 
 
-def mujoco_line() -> None:
+def mujoco_line(prov=None) -> None:
     """Second metric line: the BASELINE.json headline config measured
     literally — GAIL seals/HalfCheetah end-to-end (host MuJoCo stepping
     through the lockstep-batched native engine + device PPO/disc updates),
@@ -98,45 +154,87 @@ def mujoco_line() -> None:
             gen_replay_buffer_capacity=replay,
             seed=0,
         )
-        trainer.train(trainer.gen_train_timesteps)  # warmup: compiles
-        t0 = time.perf_counter()
-        trainer.train(n_rounds * trainer.gen_train_timesteps)
-        g = sum(x.sum() for x in jax.tree.leaves(trainer.gen_state.variables))
-        d = sum(x.sum() for x in jax.tree.leaves(trainer.disc_state.variables))
-        float(g + d)  # device fetch barrier
-        elapsed = time.perf_counter() - t0
-        if hasattr(trainer.gen_algo, "discard_pending_collection"):
-            trainer.gen_algo.discard_pending_collection()
+        try:
+            trainer.train(trainer.gen_train_timesteps)  # warmup: compiles
+            t0 = time.perf_counter()
+            trainer.train(n_rounds * trainer.gen_train_timesteps)
+            g = sum(
+                x.sum() for x in jax.tree.leaves(trainer.gen_state.variables)
+            )
+            d = sum(
+                x.sum() for x in jax.tree.leaves(trainer.disc_state.variables)
+            )
+            float(g + d)  # device fetch barrier
+            elapsed = time.perf_counter() - t0
+        finally:
+            # Release this measurement's resources before the next one is
+            # timed: join/drop the background collection, stop its thread
+            # pool, and close the 64-env MuJoCo engine's rollout pool
+            # (round-4 advisor: leaked envs + executor add scheduler noise
+            # on the 2-vCPU host).
+            gen = trainer.gen_algo
+            if hasattr(gen, "discard_pending_collection"):
+                gen.discard_pending_collection()
+            pool = getattr(gen, "_collect_pool", None)
+            if pool is not None:
+                pool.shutdown(wait=True)
+                gen._collect_pool = None
+            venv.close()
         return n_rounds * trainer.gen_train_timesteps / elapsed
 
-    serialized = measure(overlap=False)
-    overlapped = measure(overlap=True)
+    # Interleaved best-of-2 per mode (round-4 advisor): a single
+    # measurement per mode let one contended window poison the serialized
+    # baseline and publish a >2x "overlap speedup" that two-stage
+    # pipelining cannot produce. Alternating s/o/s/o makes both modes see
+    # the same host conditions; best-of filters transient noise.
+    serialized = overlapped = 0.0
+    for _ in range(2):
+        serialized = max(serialized, measure(overlap=False))
+        overlapped = max(overlapped, measure(overlap=True))
+    winner = "overlapped" if overlapped >= serialized else "serialized"
     steps_per_s = max(serialized, overlapped)
+    speedup = overlapped / serialized
     base = baseline_mujoco_steps_per_s()
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "GAIL env-steps/s (seals/HalfCheetah end-to-end: host "
-                    "MuJoCo stepping overlapped with device PPO/disc, "
-                    "tuned HPs, 64 envs)"
-                ),
-                "value": round(steps_per_s, 1),
-                "unit": "env-steps/s",
-                "vs_baseline": round(steps_per_s / base, 2) if base == base else None,
-                "overlap_speedup_vs_serialized": round(overlapped / serialized, 2),
-            }
+    line = {
+        "metric": (
+            "GAIL env-steps/s (seals/HalfCheetah end-to-end: host MuJoCo "
+            f"stepping + device PPO/disc, tuned HPs, 64 envs; best mode = "
+            f"{winner}, best-of-2 each)"
+        ),
+        "value": round(steps_per_s, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(steps_per_s / base, 2) if base == base else None,
+        "overlap_speedup_vs_serialized": round(speedup, 2),
+    }
+    if speedup > 2.0:
+        # Two-stage pipelining caps at 2x when collect and update fully
+        # stack; more than that means the serialized baseline was starved.
+        line["overlap_speedup_suspect"] = (
+            "speedup >2x is impossible from pipelining alone; serialized "
+            "baseline likely measured under host contention"
         )
-    )
+    if prov:
+        line.update(prov)
+    print(json.dumps(line))
 
 
 def main():
+    cache_was_warm = bool(glob.glob(os.path.join(COMPILE_CACHE_DIR, "*")))
+    paused = _pause_queue_lanes()
+    try:
+        _main_measurements(cache_was_warm, len(paused))
+    finally:
+        _resume_queue_lanes(paused)
+
+
+def _main_measurements(cache_was_warm, paused_lanes):
     import jax
 
     # Persistent compilation cache: repeated bench runs (and any user program
-    # with the same shapes) skip the expensive tunnel-side compiles.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/imitation_tpu_jax_cache")
+    # with the same shapes) skip the expensive remote compiles.
+    jax.config.update("jax_compilation_cache_dir", COMPILE_CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    prov = _provenance(cache_was_warm, paused_lanes)
     import numpy as np
 
     from imitation_tpu.algorithms.adversarial.gail import GAIL
@@ -171,9 +269,10 @@ def main():
 
     def force(trainer):
         """Barrier that cannot lie: fetch a scalar computed from BOTH chains'
-        final states. On the tunneled axon platform jax.block_until_ready
-        has been observed returning before remote execution completes
-        (measured a 65x-inflated rate); a device->host value fetch cannot."""
+        final states. On some remote/tunneled TPU platforms
+        jax.block_until_ready has been observed returning before remote
+        execution completes (measured a 65x-inflated rate); a device->host
+        value fetch cannot."""
         g = sum(x.sum() for x in jax.tree.leaves(trainer.gen_state.variables))
         d = sum(x.sum() for x in jax.tree.leaves(trainer.disc_state.variables))
         return float(g) + float(d)
@@ -218,27 +317,23 @@ def main():
     # MuJoCo end-to-end line FIRST, headline line LAST: the driver records
     # the final JSON line as the round's headline metric.
     try:
-        mujoco_line()
+        mujoco_line(prov)
     except Exception as e:  # never let the extra line break the headline
-        import sys
-
         print(f"mujoco_line skipped: {e!r}", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "GAIL env-steps/s/chip (rollout+relabel+PPO+disc, "
-                    "device CartPole, 1024 envs; device-env proxy for the "
-                    "BASELINE GAIL-HalfCheetah config — MJX not installable, "
-                    "MuJoCo stepping is host-bound; see the end-to-end "
-                    "MuJoCo line above)"
-                ),
-                "value": round(steps_per_s, 1),
-                "unit": "env-steps/s",
-                "vs_baseline": round(steps_per_s / baseline_steps_per_s(), 2),
-            }
-        )
-    )
+    headline = {
+        "metric": (
+            "GAIL env-steps/s/chip (rollout+relabel+PPO+disc, "
+            "device CartPole, 1024 envs; device-env proxy for the "
+            "BASELINE GAIL-HalfCheetah config — MJX not installable, "
+            "MuJoCo stepping is host-bound; see the end-to-end "
+            "MuJoCo line above)"
+        ),
+        "value": round(steps_per_s, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(steps_per_s / baseline_steps_per_s(), 2),
+    }
+    headline.update(prov)
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

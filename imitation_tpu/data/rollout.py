@@ -171,16 +171,25 @@ class HostCollector:
         self.obs = self.venv.reset(seed=seed)
 
     def _params_for_apply(self):
-        if self._cpu is None:
-            return self.params
-        # cache the host copy; refresh when the trainer swaps in new params
+        # Cache a SNAPSHOT of the params; refresh when the trainer swaps in
+        # new ones. The snapshot (a host copy even on the CPU backend, not
+        # a reference to the live buffers) is what makes the overlapped
+        # host-collection paths donation-safe: trainers call this
+        # synchronously before dispatching a device update, so even if an
+        # update jit donates/invalidates the old param buffers, the
+        # background collect thread reads this decoupled copy.
         if self._cpu_params_src is not self.params:
-            # device_get then re-put: direct accelerator->CPU-backend
-            # device_put deadlocks on remote TPU plugins (see __init__).
-            host = jax.device_get(self.params)
-            self._cpu_params = jax.tree.map(
-                lambda a: jax.device_put(np.asarray(a), self._cpu), host
-            )
+            if self._cpu is None:
+                self._cpu_params = jax.tree.map(
+                    lambda a: np.array(a), self.params
+                )
+            else:
+                # device_get then re-put: direct accelerator->CPU-backend
+                # device_put deadlocks on remote TPU plugins (see __init__).
+                host = jax.device_get(self.params)
+                self._cpu_params = jax.tree.map(
+                    lambda a: jax.device_put(np.asarray(a), self._cpu), host
+                )
             self._cpu_params_src = self.params
         return self._cpu_params
 
