@@ -18,7 +18,7 @@ import time
 
 def force(jax, tr):
     """Fetch-based barrier (block_until_ready can return early on the
-    tunneled axon platform; a device->host value fetch cannot)."""
+    some remote/tunneled TPU platforms; a device->host value fetch cannot)."""
     g = sum(x.sum() for x in jax.tree.leaves(tr.gen_state.variables))
     d = sum(x.sum() for x in jax.tree.leaves(tr.disc_state.variables))
     return float(g) + float(d)

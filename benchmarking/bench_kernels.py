@@ -17,7 +17,7 @@ import time
 
 def force(out):
     """Fetch-based barrier: block_until_ready can return early on the
-    tunneled axon platform; a device->host value fetch cannot."""
+    some remote/tunneled TPU platforms; a device->host value fetch cannot."""
     import jax
     import jax.numpy as jnp
 

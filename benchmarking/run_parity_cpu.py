@@ -1,6 +1,6 @@
 """run_parity on the host CPU backend.
 
-The axon TPU plugin ignores ``JAX_PLATFORMS=cpu``; force the backend via
+Some TPU plugins ignore ``JAX_PLATFORMS=cpu``; force the backend via
 jax.config before anything initializes XLA. Lets cheap cells (BC seeds) run
 concurrently with chip-bound queue items — training math is identical,
 just slower. Usage: same CLI as benchmarking.run_parity.

@@ -56,8 +56,8 @@ class PhaseTimer:
             yield
         finally:
             if block_on is not None:
-                # Fetch (not block_until_ready): on the tunneled axon
-                # platform block_until_ready can return before remote
+                # Fetch (not block_until_ready): on some remote/tunneled TPU
+                # platforms block_until_ready can return before remote
                 # execution completes; a device->host value fetch cannot.
                 for leaf in jax.tree.leaves(block_on):
                     if hasattr(leaf, "sum"):
