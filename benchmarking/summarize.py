@@ -122,27 +122,94 @@ def latest_per_seed(entries: Sequence[dict]) -> Dict[int, dict]:
     return by_seed
 
 
+def _counted(values) -> str:
+    """'a×3, b×1' summary of the non-None values (provenance columns)."""
+    from collections import Counter
+
+    counts = Counter(v for v in values if v not in (None, ""))
+    if not counts:
+        return "—"
+
+    def fmt(v):
+        return f"{v:g}" if isinstance(v, (int, float)) else str(v)
+
+    return ", ".join(
+        f"{fmt(v)}×{n}" for v, n in sorted(counts.items(), key=lambda kv: str(kv[0]))
+    )
+
+
+def _cell_provenance(rows: Sequence[dict]):
+    """Per-cell budget / demo-source / partial summary from the provenance
+    fields the runners record (VERDICT r4 item 9: stale-expert or
+    short-budget cells must be visible mechanically, not editorially).
+    Rows predating provenance recording show '(default)' for the budget —
+    i.e. the tuned-HP default for that cell."""
+    budgets, demo_dirs = [], []
+    n_partial = 0
+    for e in rows:
+        budgets.append(
+            e.get("total_timesteps")
+            or e.get("total_timesteps_override")
+            or e.get("timesteps")
+            or "(default)"
+        )
+        d = str(e.get("experts_dir", "")).rstrip("/")
+        demo_dirs.append(os.path.basename(d) if d else None)
+        n_partial += bool(e.get("partial"))
+    return budgets, demo_dirs, n_partial
+
+
 def parity_markdown(
     results_path: str = os.path.join("output", "parity", "results.json"),
     experts_path: str = os.path.join("output", "experts", "summary.json"),
 ) -> str:
     """Markdown table of the parity matrix vs experts + in-repo reference
-    numbers (the reference's benchmark protocol, benchmarking/README.md)."""
+    numbers (the reference's benchmark protocol, benchmarking/README.md).
+
+    The Expert column follows the demo provenance: if a cell's rows used a
+    non-default experts dir (e.g. the retrained SAC HalfCheetah expert in
+    output/experts_v2), the expert return shown is that dir's."""
     with open(results_path) as f:
         results = json.load(f)
-    experts: Dict[str, float] = {}
-    if os.path.exists(experts_path):
-        with open(experts_path) as f:
-            experts = json.load(f)
+
+    expert_summaries: Dict[str, Dict[str, float]] = {}
+
+    def experts_for(dir_name: Optional[str]) -> Dict[str, float]:
+        if not dir_name:
+            path = experts_path
+            dir_name = "__default__"
+        else:
+            path = os.path.join(
+                os.path.dirname(os.path.dirname(experts_path)),
+                dir_name, "summary.json",
+            )
+        if dir_name not in expert_summaries:
+            summary: Dict[str, float] = {}
+            if os.path.exists(path):
+                with open(path) as f:
+                    summary = json.load(f)
+            expert_summaries[dir_name] = summary
+        return expert_summaries[dir_name]
+
     lines = [
-        "| Algo / Env | seeds | mean | std | IQM [95% CI] | Expert (ours) | Reference |",
-        "|---|---|---|---|---|---|---|",
+        "| Algo / Env | seeds | mean | std | IQM [95% CI] | Expert (ours) "
+        "| Reference | budget | demos | partial |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for key in sorted(results):
         by_seed = latest_per_seed(results[key])
-        returns = np.asarray([by_seed[s]["return"] for s in sorted(by_seed)])
+        rows = [by_seed[s] for s in sorted(by_seed)]
+        returns = np.asarray([r["return"] for r in rows])
+        budgets, demo_dirs, n_partial = _cell_provenance(rows)
         env_key = key.split("/", 1)[1]
-        exp = experts.get(env_key)
+        # Expert value from the cell's dominant demo source.
+        from collections import Counter
+
+        dir_counts = Counter(d for d in demo_dirs if d)
+        dominant = dir_counts.most_common(1)[0][0] if dir_counts else None
+        exp = experts_for(dominant).get(env_key)
+        if exp is None and dominant:
+            exp = experts_for(None).get(env_key)
         ref = _REFERENCE_RETURNS.get(key)
         if len(returns) >= 2:
             lo, hi = bootstrap_ci(returns)
@@ -152,9 +219,11 @@ def parity_markdown(
             iqm_s, std_s = "—", "—"
         exp_s = f"{exp:.1f}" if exp is not None else "—"
         ref_s = f"{ref:.2f}" if ref is not None else "—"
+        partial_s = f"{n_partial}/{len(rows)}" if n_partial else "—"
         lines.append(
             f"| {key} | {len(returns)} | {returns.mean():.1f} | {std_s} | "
-            f"{iqm_s} | {exp_s} | {ref_s} |"
+            f"{iqm_s} | {exp_s} | {ref_s} | {_counted(budgets)} | "
+            f"{_counted(demo_dirs)} | {partial_s} |"
         )
     return "\n".join(lines)
 
