@@ -31,7 +31,14 @@ from imitation_tpu.rewards.reward_nets import BasicRewardNet, BasicShapedRewardN
 from imitation_tpu.rl.ppo import PPOConfig
 
 EXPERTS_DIR = os.path.join("output", "experts")
-OUT_PATH = os.path.join("output", "parity", "results.json")
+# PARITY_RESULTS_PATH lets drivers/tests isolate the results file
+# (benchmarking.run_matrix --fast smoke writes to a scratch path).
+OUT_PATH = os.environ.get(
+    "PARITY_RESULTS_PATH", os.path.join("output", "parity", "results.json")
+)
+# Evaluation episodes for the final return (reference protocol: 50,
+# scripts/ingredients/policy_evaluation.py:20); overridable for fast smokes.
+EVAL_EPISODES = 50
 
 ENV_IDS = {
     "seals_ant": "seals/Ant-v1",
@@ -102,7 +109,9 @@ def load_expert(env_key: str, venv):
     return policy, variables, list(demos)
 
 
-def eval50(policy_apply, variables, venv, n=50, seed=12345):
+def eval50(policy_apply, variables, venv, n=None, seed=12345):
+    if n is None:
+        n = EVAL_EPISODES
     trajs = rollout_mod.generate_trajectories(
         policy_apply, variables, venv, rollout_mod.make_min_episodes(n), rng=seed
     )
@@ -134,7 +143,12 @@ def run_bc(env_key: str, seed: int, total_override=None):
         l2_weight=l2,
         optimizer_kwargs=dict(learning_rate=lr),
     )
-    bc.train(n_epochs=n_epochs)
+    if total_override:
+        # Budget override for fast smokes: interpreted as n_batches
+        # (BC's other budget unit, reference bc.py BCTrainingMetrics).
+        bc.train(n_batches=int(total_override))
+    else:
+        bc.train(n_epochs=n_epochs)
     return eval50(bc.policy.sample_fn(), bc.state.variables, venv, seed=seed + 1)
 
 
@@ -397,15 +411,24 @@ def record(algo, env_key, seed, final, extra=None, replace_partial=False):
 
 
 def main():
-    import imitation_tpu
-
-    imitation_tpu.enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("algo", choices=["bc", "dagger", "gail", "airl"])
     ap.add_argument("env_key", choices=sorted(ENV_IDS))
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--total-timesteps", type=int, default=None)
+    ap.add_argument("--eval-episodes", type=int, default=50)
+    ap.add_argument("--backend", choices=["device", "cpu"], default="device")
     args = ap.parse_args()
+    globals()["EVAL_EPISODES"] = args.eval_episodes
+    if args.backend == "cpu":
+        # Must happen before the backend initializes; some TPU plugins
+        # ignore the JAX_PLATFORMS env var, so set it via jax.config.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import imitation_tpu
+
+    imitation_tpu.enable_compile_cache()
 
     t0 = time.time()
 

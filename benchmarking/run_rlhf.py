@@ -76,7 +76,13 @@ def main() -> None:
         "--true-baseline", action="store_true",
         help="train plain PPO on the TRUE reward at the same budget instead",
     )
+    ap.add_argument("--backend", choices=["device", "cpu"], default="device")
     args = ap.parse_args()
+    if args.backend == "cpu":
+        # Before backend init; some TPU plugins ignore JAX_PLATFORMS.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     preset = PRESETS[args.env]
     # `is not None` (not `or`): an explicit --timesteps 0 etc. must not
     # silently fall back to the preset (round-3 advisor).

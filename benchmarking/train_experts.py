@@ -269,6 +269,14 @@ def _quick_eval(ppo, state, venv, n_episodes: int, seed: int) -> float:
 
 if __name__ == "__main__":
     argv = sys.argv[1:]
+    if "--backend" in argv:
+        i = argv.index("--backend")
+        if argv[i + 1] == "cpu":
+            # Before backend init; some TPU plugins ignore JAX_PLATFORMS.
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        del argv[i : i + 2]
     resume = "--resume" in argv
     argv = [a for a in argv if a != "--resume"]
     extra = 0
