@@ -61,6 +61,13 @@ PRESETS = {
                  ent_coef=3.794797423594763e-6, gamma=0.95, gae_lambda=0.95,
                  clip_range=0.1, vf_coef=0.11483689492120866,
                  max_grad_norm=0.8),
+        # PEBBLE (--pebble) generator: the SAC settings that trained our
+        # 6831.3 HalfCheetah expert on the true reward in 1e6 steps
+        # (benchmarking/train_experts.py train_expert_sac; reference PEBBLE
+        # config = SAC1024Policy + rl.sac named config,
+        # reference policies/base.py:107-121, ingredients/rl.py:104-120).
+        sac=dict(train_freq=16, gradient_steps=256, batch_size=256,
+                 learning_starts=10_000, learning_rate=3e-4),
     ),
 }
 
@@ -77,7 +84,16 @@ def main() -> None:
         help="train plain PPO on the TRUE reward at the same budget instead",
     )
     ap.add_argument("--backend", choices=["device", "cpu"], default="device")
+    ap.add_argument(
+        "--pebble", action="store_true",
+        help="use a SAC generator with replay relabeling (the PEBBLE "
+             "configuration) instead of PPO; records under 'pebble/<env>'",
+    )
     args = ap.parse_args()
+    if args.pebble and args.true_baseline:
+        ap.error("--pebble and --true-baseline are mutually exclusive")
+    if args.pebble and "sac" not in PRESETS[args.env]:
+        ap.error(f"no SAC preset for {args.env}")
     if args.backend == "cpu":
         # Before backend init; some TPU plugins ignore JAX_PLATFORMS.
         import jax
@@ -105,17 +121,26 @@ def main() -> None:
     from imitation_tpu.rl.ppo import PPO, PPOConfig
 
     venv = make_vec_env(preset["env_name"], num_envs=preset["num_envs"])
-    policy = ActorCriticPolicy(
-        observation_space=venv.observation_space,
-        action_space=venv.action_space,
-        hid_sizes=tuple(preset["hid_sizes"]),
-        normalize_features=preset["normalize_features"],
-    )
-    ppo = PPO(venv, policy, PPOConfig(**preset["ppo"]), seed=args.seed)
+    if args.pebble:
+        from imitation_tpu.rl.sac import SAC, SACConfig
+
+        sac = SAC(venv, SACConfig(**preset["sac"]), seed=args.seed)
+        ppo = policy = None
+    else:
+        policy = ActorCriticPolicy(
+            observation_space=venv.observation_space,
+            action_space=venv.action_space,
+            hid_sizes=tuple(preset["hid_sizes"]),
+            normalize_features=preset["normalize_features"],
+        )
+        ppo = PPO(venv, policy, PPOConfig(**preset["ppo"]), seed=args.seed)
 
     out_dir = "output/r2"
     os.makedirs(out_dir, exist_ok=True)
-    res_key_prefix = "rlhf_true_ppo" if args.true_baseline else "rlhf"
+    res_key_prefix = (
+        "rlhf_true_ppo" if args.true_baseline
+        else ("pebble" if args.pebble else "rlhf")
+    )
     out_path = os.path.join(out_dir, f"{res_key_prefix}_{args.env}.json")
     t0 = time.time()
 
@@ -199,9 +224,14 @@ def main() -> None:
                 base=reward_net,
                 normalize_cls=RunningNorm,
             )
-        agent_trainer = pc.AgentTrainer(
-            ppo, reward_net, venv, rng=args.seed, exploration_frac=0.05
-        )
+        if args.pebble:
+            agent_trainer = pc.SACAgentTrainer(
+                sac, reward_net, venv, rng=args.seed, exploration_frac=0.05
+            )
+        else:
+            agent_trainer = pc.AgentTrainer(
+                ppo, reward_net, venv, rng=args.seed, exploration_frac=0.05
+            )
         trainer = pc.PreferenceComparisons(
             agent_trainer,
             reward_net,
@@ -220,8 +250,14 @@ def main() -> None:
         )
 
         def true_return(n=10):
+            if args.pebble:
+                apply_fn = sac.policy.sample_fn()
+                variables = {"params": agent_trainer.state.actor_params}
+            else:
+                apply_fn = policy.sample_fn()
+                variables = agent_trainer.state.variables
             trajs = rmod.generate_trajectories(
-                policy.sample_fn(), agent_trainer.state.variables, venv,
+                apply_fn, variables, venv,
                 rmod.make_min_episodes(n), rng=args.seed + 99,
             )
             return float(np.mean([t.rews.sum() for t in trajs]))
@@ -233,7 +269,7 @@ def main() -> None:
                 "true_return10": ret,
                 "wall_s": time.time() - t0,
             })
-            print(f"[rlhf/{args.env}] iter {iteration}: true_return={ret:.1f} "
+            print(f"[{res_key_prefix}/{args.env}] iter {iteration}: true_return={ret:.1f} "
                   f"({curve[-1]['wall_s']:.0f}s)", flush=True)
             with open(out_path, "w") as f:
                 json.dump({"curve": curve}, f, indent=1)

@@ -450,6 +450,21 @@ class SACAgentTrainer(TrajectoryGenerator):
             )
         exploration_steps = steps - agent_steps
         if exploration_steps > 0:
+            if getattr(self.venv, "is_host", False):
+                # Host-stepped env (MuJoCo/gym-bridge): the scanned device
+                # collector can't run; drive the same Markov-switching
+                # mixture through the host rollout path (mirrors
+                # AgentTrainer._sample_exploration).
+                out.extend(
+                    rollout_mod.generate_trajectories(
+                        self._explorer.host_policy_fn(),
+                        {"params": self.state.actor_params},
+                        self.venv,
+                        rollout_mod.make_min_timesteps(exploration_steps),
+                        rng=int(self.rng.integers(0, 2**31 - 1)),
+                    )
+                )
+                return out
             key = jax.random.key(int(self.rng.integers(0, 2**31 - 1)))
             key, k_reset, k_mode = jax.random.split(key, 3)
             env_state = self.venv.reset(k_reset)
