@@ -458,13 +458,27 @@ class AdversarialTrainer(base.DemonstrationAlgorithm):
         n = n or self.n_disc_updates_per_round
         if self._disc_multi_jit is None:
             self._disc_multi_jit = jax.jit(self._disc_multi, static_argnums=4)
-        self.disc_state, stats = self._disc_multi_jit(
-            self.disc_state,
-            self._gen_buffer_state,
-            self._current_policy_variables(),
-            self._demo_store.batch,
-            n,
-        )
+        timer = getattr(self.gen_algo, "phase_timer", None)
+        if timer is not None:
+            # Profiling mode (PPO.phase_timer set): attribute disc time with
+            # a fetch barrier, like the generator's device_update phase.
+            with timer.phase("disc_update"):
+                self.disc_state, stats = self._disc_multi_jit(
+                    self.disc_state,
+                    self._gen_buffer_state,
+                    self._current_policy_variables(),
+                    self._demo_store.batch,
+                    n,
+                )
+                jax.device_get(self.disc_state.variables["params"])
+        else:
+            self.disc_state, stats = self._disc_multi_jit(
+                self.disc_state,
+                self._gen_buffer_state,
+                self._current_policy_variables(),
+                self._demo_store.batch,
+                n,
+            )
         if not sync:
             return stats
         return jax.device_get(stats)

@@ -114,6 +114,11 @@ class PPO:
         self._host_collector = None
         self._pending_chunk = None
         self._collect_pool = None
+        # Optional util.profiling.PhaseTimer: when set, the host-env paths
+        # record per-phase wall time (host_collect / device_update /
+        # collect_join). The serialized path adds a device fetch barrier
+        # per iteration for honest attribution — profiling mode only.
+        self.phase_timer = None
         self.rebind()
 
     def rebind(self) -> None:
@@ -184,11 +189,23 @@ class PPO:
     def train_step_host(self, state: common.RLState, reward_params: Any = None):
         """Host-env path: collect on host, jitted processing on device."""
         assert self._host_collector is not None, "call init_state() first"
-        self._host_collector.params = state.variables
-        chunk = self._host_collector.collect(self.config.n_steps)
+        timer = self.phase_timer
+        if timer is None:
+            self._host_collector.params = state.variables
+            chunk = self._host_collector.collect(self.config.n_steps)
+            key, k_proc = jax.random.split(state.key)
+            state = state.replace(key=key)
+            return self._process_chunk_jit(state, None, chunk, k_proc, reward_params)
+        with timer.phase("host_collect"):
+            self._host_collector.params = state.variables
+            chunk = self._host_collector.collect(self.config.n_steps)
         key, k_proc = jax.random.split(state.key)
         state = state.replace(key=key)
-        return self._process_chunk_jit(state, None, chunk, k_proc, reward_params)
+        with timer.phase("device_update"):
+            out = self._process_chunk_jit(state, None, chunk, k_proc, reward_params)
+            # Fetch barrier so the span covers execution, not dispatch.
+            jax.device_get(out[0].variables["params"])
+        return out
 
     def train_step_host_overlapped(
         self, state: common.RLState, reward_params: Any = None
@@ -210,9 +227,16 @@ class PPO:
             self._collect_pool = concurrent.futures.ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="ppo-host-collect"
             )
+        timer = self.phase_timer
         if self._pending_chunk is None:
             self._host_collector.params = state.variables
             chunk = self._host_collector.collect(self.config.n_steps)
+        elif timer is not None:
+            # Time only the host-blocked wait on the background collection —
+            # no device barrier here, which would serialize the pipeline
+            # this path exists to create.
+            with timer.phase("collect_join"):
+                chunk = self._pending_chunk.result()
         else:
             chunk = self._pending_chunk.result()
         # Refresh the collector's host-side param cache synchronously BEFORE
