@@ -77,3 +77,34 @@ def test_overlap_learns_cartpole_host():
         best = max(best, float(jax.device_get(metrics)["ep_return_mean"]))
     ppo.discard_pending_collection()
     assert best > 35.0, best
+
+
+def test_phase_timer_records_host_and_device_spans():
+    from imitation_tpu.util.profiling import PhaseTimer
+
+    ppo = _make(False)
+    ppo.phase_timer = PhaseTimer()
+    state = ppo.init_state()
+    for _ in range(3):
+        state = ppo._train_step_jit(state, None)[0]
+    report = ppo.phase_timer.report()
+    assert report["time/host_collect_s"] > 0
+    assert report["time/device_update_s"] > 0
+    # one span per iteration
+    assert ppo.phase_timer.totals == {}  # report(reset=True) cleared
+
+
+def test_phase_timer_overlapped_times_join_only():
+    from imitation_tpu.util.profiling import PhaseTimer
+
+    ppo = _make(True)
+    ppo.phase_timer = PhaseTimer()
+    state = ppo.init_state()
+    for _ in range(3):
+        state = ppo._train_step_jit(state, None)[0]
+    ppo.discard_pending_collection()
+    report = ppo.phase_timer.report()
+    # first iteration collects synchronously (no pending chunk); the next
+    # two join background collections
+    assert report["time/collect_join_s"] >= 0
+    assert "time/host_collect_s" not in report
