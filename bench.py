@@ -220,6 +220,9 @@ def mujoco_line(prov=None) -> None:
 
 def main():
     cache_was_warm = bool(glob.glob(os.path.join(COMPILE_CACHE_DIR, "*")))
+    # A SIGTERM (e.g. a driver timeout) must still run the finally below —
+    # otherwise the SIGSTOPped queue lanes would stay frozen forever.
+    signal.signal(signal.SIGTERM, lambda *a: (_ for _ in ()).throw(SystemExit(143)))
     paused = _pause_queue_lanes()
     try:
         _main_measurements(cache_was_warm, len(paused))
