@@ -113,6 +113,12 @@ def main() -> None:
     import imitation_tpu
 
     imitation_tpu.enable_compile_cache()
+    # Backend provenance on every recorded row (record() folds this in).
+    import jax as _jax
+
+    import benchmarking.run_parity as _rp
+
+    _rp._PROVENANCE = {"backend": _jax.default_backend()}
     from imitation_tpu.algorithms import preference_comparisons as pc
     from imitation_tpu.data import rollout as rmod
     from imitation_tpu.envs import make_vec_env
